@@ -48,8 +48,9 @@ def plucker_embedding(intrinsics: jax.Array, c2w: jax.Array, height: int, width:
     directions = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
 
     rot = c2w[..., :3, :3]  # (B,F,3,3)
-    # rays_d = directions @ rot^T  (dataset.py:962)
-    rays_d = jnp.einsum("bfhwc,bfkc->bfhwk", directions, rot)
+    # rays_d = directions @ rot^T  (dataset.py:962).  HIGHEST precision: this
+    # is negligible compute but bf16 MXU default would corrupt the pose signal.
+    rays_d = jnp.einsum("bfhwc,bfkc->bfhwk", directions, rot, precision=jax.lax.Precision.HIGHEST)
     rays_o = jnp.broadcast_to(c2w[..., :3, 3][:, :, None, None, :], rays_d.shape)
     rays_dxo = jnp.cross(rays_o, rays_d)
     return jnp.concatenate([rays_dxo, rays_d], axis=-1)
