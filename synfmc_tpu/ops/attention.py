@@ -1,0 +1,72 @@
+"""Attention compute core.
+
+Single dispatch point for all attention in the framework (spatial self/cross,
+temporal self, pose-conditioned).  The reference routes everything through
+diffusers ``Attention.get_attention_scores`` + bmm (fmc/models/
+attention_processor.py:65-67); here the math lives in one function that can
+route to the Pallas flash-attention kernel on TPU or a pure-XLA einsum path.
+
+Layout: ``(batch, seq, heads, head_dim)`` — chosen so the frame-folded batch
+axis stays leading and shardable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sequence lengths below this use the XLA path even when flash is enabled:
+# the kernel's tiling has no advantage for tiny sequences (e.g. 16 frames of
+# temporal attention).
+_FLASH_MIN_SEQ = 256
+
+
+def _xla_attention(q, k, v, scale, mask=None):
+    # fp32 softmax accumulation regardless of compute dtype.
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * jnp.asarray(scale, dtype=logits.dtype)
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    mask: Optional[jax.Array] = None,
+    use_flash: str | bool = "auto",
+) -> jax.Array:
+    """Multi-head scaled dot-product attention.
+
+    Args:
+      q: (B, Sq, H, D) queries.
+      k, v: (B, Sk, H, D) keys/values.
+      scale: logit scale; defaults to D**-0.5 (diffusers Attention default).
+      mask: optional additive mask broadcastable to (B, H, Sq, Sk).
+      use_flash: True/False/'auto' — route to the Pallas kernel when
+        beneficial and supported on the current backend.
+
+    Returns:
+      (B, Sq, H, D) attention output in q.dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    want_flash = use_flash is True or (
+        use_flash == "auto"
+        and mask is None
+        and q.shape[1] >= _FLASH_MIN_SEQ
+        and jax.default_backend() == "tpu"
+    )
+    if want_flash:
+        from synfmc_tpu.ops.flash_attention import flash_attention, flash_supported
+
+        if flash_supported(q, k, v):
+            return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale, mask=mask)
