@@ -20,7 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@dataclasses.dataclass(frozen=True)
+# eq=False: identity hash so the schedule can be a static jit argument
+# (the alphas_cumprod table is an unhashable ndarray).
+@dataclasses.dataclass(frozen=True, eq=False)
 class DiffusionSchedule:
     num_train_timesteps: int
     alphas_cumprod: np.ndarray  # (T,) float64 for table precision

@@ -1,0 +1,233 @@
+"""Inference pipelines: text/camera/object-conditioned video generation.
+
+One pipeline covers the reference's three classes (fmc/pipelines/
+pipeline_animation.py:40 ``AnimationPipeline``, :442 ``CameraCtrlPipeline``,
+pipeline_animation_cm_om.py:442 ``CameraObjCtrlPipeline``): camera and object
+conditioning are optional inputs.
+
+TPU-native: the CFG denoise loop is one jit with ``lax.scan`` over the DDIM
+timestep table; MultiDiffusion temporal windowing (overlap-averaged window
+predictions, pipeline_animation.py:390-421) unrolls statically inside the
+scan body; the VAE decodes frame-wise under ``lax.map`` to bound memory
+(pipeline_animation.py:238-251).
+
+Reference semantics preserved:
+- uncond/cond CFG batch order [uncond, cond] (pipeline_animation.py:149-236),
+- pose features encoded ONCE before the loop and shared by both CFG branches
+  (pipeline_animation.py:644-667),
+- OMC traj features: uncond branch zeroed (cm_om.py:670-676) and gated off
+  when t < omcm_min_step (cm_om.py:680-685),
+- multidiff asserted ==1 when traj features present (cm_om.py:690).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synfmc_tpu.diffusion import DiffusionSchedule
+
+
+@dataclasses.dataclass
+class AnimationPipeline:
+    """Bundles the frozen modules + params needed for generation."""
+
+    unet: Any
+    unet_params: Any
+    vae: Any
+    vae_params: Any
+    text_encoder: Any
+    text_params: Any
+    tokenizer: Callable
+    schedule: DiffusionSchedule
+    pose_encoder: Any = None
+    pose_encoder_params: Any = None
+    adapter: Any = None
+    adapter_params: Any = None
+
+    def encode_prompt(self, prompts, negative_prompts=None) -> jax.Array:
+        """(2B, 77, hidden) text embeddings, uncond first (CFG batch)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if negative_prompts is None:
+            negative_prompts = [""] * len(prompts)
+        elif isinstance(negative_prompts, str):
+            negative_prompts = [negative_prompts] * len(prompts)
+        ids = jnp.asarray(self.tokenizer(list(negative_prompts) + list(prompts)))
+        return self.text_encoder.apply(self.text_params, ids)
+
+    def encode_pose(self, plucker: jax.Array) -> list[jax.Array]:
+        """Plücker video (B, F, H, W, 6) -> 4 multi-scale pose features,
+        computed once per generation (pipeline_animation.py:644-657)."""
+        assert self.pose_encoder is not None, "pipeline built without a pose encoder"
+        return self.pose_encoder.apply(self.pose_encoder_params, plucker)
+
+    def encode_traj(self, traj_raster: jax.Array, mask: jax.Array, num_frames: int) -> list[jax.Array]:
+        """OMC raster (B*F, H, W, 13) + mask -> 4 traj feature videos."""
+        assert self.adapter is not None, "pipeline built without an object adapter"
+        feats = self.adapter.apply(self.adapter_params, traj_raster, mask)
+        out = []
+        for ft in feats:
+            n, h, w, c = ft.shape
+            out.append(ft.reshape(n // num_frames, num_frames, h, w, c))
+        return out
+
+    def __call__(
+        self,
+        prompts,
+        video_length: int = 16,
+        height: int = 256,
+        width: int = 384,
+        num_inference_steps: int = 25,
+        guidance_scale: float = 8.0,
+        negative_prompts=None,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        plucker: Optional[jax.Array] = None,
+        traj_features: Optional[Sequence[jax.Array]] = None,
+        omcm_min_step: int = 700,
+        multidiff_total_steps: int = 1,
+        multidiff_overlaps: int = 12,
+        decode: bool = True,
+    ):
+        """Generate videos.  Returns (B, F_total, H, W, 3) in [0, 1] when
+        ``decode`` else the final latents."""
+        context = self.encode_prompt(prompts, negative_prompts)
+        batch = context.shape[0] // 2
+
+        total_frames = multidiff_total_steps * (video_length - multidiff_overlaps) + multidiff_overlaps
+        h_lat, w_lat = height // 8, width // 8
+        if latents is None:
+            assert rng is not None, "need rng or explicit latents"
+            latents = (
+                jax.random.normal(rng, (batch, total_frames, h_lat, w_lat, 4), dtype=jnp.float32)
+                * self.schedule.init_noise_sigma
+            )
+
+        pose_features = self.encode_pose(plucker) if plucker is not None else None
+        if traj_features is not None:
+            assert multidiff_total_steps == 1, "OMC requires multidiff_total_steps == 1 (cm_om.py:690)"
+
+        latents = denoise_loop(
+            self.unet,
+            self.unet_params,
+            self.schedule,
+            latents,
+            context,
+            pose_features=pose_features,
+            traj_features=traj_features,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            omcm_min_step=omcm_min_step,
+            window_length=video_length,
+            multidiff_total_steps=multidiff_total_steps,
+            multidiff_overlaps=multidiff_overlaps,
+        )
+        if not decode:
+            return latents
+        return decode_latents(self.vae, self.vae_params, latents)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "unet",
+        "schedule",
+        "num_inference_steps",
+        "omcm_min_step",
+        "window_length",
+        "multidiff_total_steps",
+        "multidiff_overlaps",
+    ),
+)
+def denoise_loop(
+    unet,
+    unet_params,
+    schedule: DiffusionSchedule,
+    latents: jax.Array,
+    context: jax.Array,
+    pose_features=None,
+    traj_features=None,
+    num_inference_steps: int = 25,
+    guidance_scale: float = 8.0,
+    omcm_min_step: int = 700,
+    window_length: int = 16,
+    multidiff_total_steps: int = 1,
+    multidiff_overlaps: int = 12,
+):
+    """jit-compiled CFG denoise loop (lax.scan over the DDIM table)."""
+    timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
+    stride = window_length - multidiff_overlaps
+
+    # CFG duplication done once: pose features shared between branches
+    # (pipeline_animation.py:661-667); traj uncond branch zeroed (cm_om.py:670-676).
+    pose_cfg = None
+    if pose_features is not None:
+        pose_cfg = [jnp.concatenate([p, p], axis=0) for p in pose_features]
+    traj_cfg = None
+    if traj_features is not None:
+        traj_cfg = [jnp.concatenate([jnp.zeros_like(tr), tr], axis=0) for tr in traj_features]
+
+    def unet_eps(window_latents, t, pose_w, traj_w):
+        latent_in = jnp.concatenate([window_latents, window_latents], axis=0)
+        traj_t = None
+        if traj_w is not None:
+            gate = (t >= omcm_min_step).astype(latent_in.dtype)
+            traj_t = [tr * gate for tr in traj_w]
+        eps = unet.apply(
+            unet_params, latent_in, jnp.full((latent_in.shape[0],), t), context,
+            pose_features=pose_w, traj_features=traj_t,
+        )
+        uncond, cond = jnp.split(eps, 2, axis=0)
+        return uncond + guidance_scale * (cond - uncond)
+
+    def body(latents, t):
+        if multidiff_total_steps == 1:
+            eps_full = unet_eps(latents, t, pose_cfg, traj_cfg)
+        else:
+            eps_acc = jnp.zeros_like(latents)
+            count = jnp.zeros_like(latents)
+            for w in range(multidiff_total_steps):
+                s = w * stride
+                window = jax.lax.dynamic_slice_in_dim(latents, s, window_length, axis=1)
+                pose_w = None
+                if pose_cfg is not None:
+                    pose_w = [
+                        jax.lax.dynamic_slice_in_dim(p, s, window_length, axis=1) for p in pose_cfg
+                    ]
+                eps_w = unet_eps(window, t, pose_w, None)
+                eps_acc = jax.lax.dynamic_update_slice_in_dim(
+                    eps_acc,
+                    jax.lax.dynamic_slice_in_dim(eps_acc, s, window_length, axis=1) + eps_w,
+                    s,
+                    axis=1,
+                )
+                count = jax.lax.dynamic_update_slice_in_dim(
+                    count,
+                    jax.lax.dynamic_slice_in_dim(count, s, window_length, axis=1) + 1.0,
+                    s,
+                    axis=1,
+                )
+            eps_full = eps_acc / jnp.maximum(count, 1.0)
+        latents = schedule.ddim_step(eps_full, t, latents, num_inference_steps)
+        return latents, None
+
+    latents, _ = jax.lax.scan(body, latents, timesteps)
+    return latents
+
+
+def decode_latents(vae, vae_params, latents: jax.Array) -> jax.Array:
+    """Frame-wise VAE decode -> (B, F, H, W, 3) in [0, 1]
+    (pipeline_animation.py:238-251, incl. the /0.18215 inside vae.decode)."""
+    b, f, h, w, c = latents.shape
+    frames = latents.reshape(b * f, h, w, c)
+
+    decode_one = lambda z: vae.apply(vae_params, z[None], method=type(vae).decode)[0]
+    images = jax.lax.map(decode_one, frames)
+    images = (images / 2.0 + 0.5).clip(0.0, 1.0)
+    return images.reshape(b, f, *images.shape[1:])

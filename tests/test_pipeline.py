@@ -1,0 +1,104 @@
+"""End-to-end generation pipeline tests with tiny models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synfmc_tpu.data.tokenizer import HashTokenizer
+from synfmc_tpu.diffusion import DiffusionSchedule
+from synfmc_tpu.models.adapter import ObjectAdapter
+from synfmc_tpu.models.clip_text import CLIPTextModel
+from synfmc_tpu.models.pose_encoder import CameraPoseEncoder
+from synfmc_tpu.models.unet3d import UNet3D
+from synfmc_tpu.models.vae import AutoencoderKL
+from synfmc_tpu.pipelines import AnimationPipeline
+
+CHS = (32, 64, 128, 128)
+H, W, F = 64, 128, 4  # latent 8x16
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    key = jax.random.PRNGKey(0)
+    unet = UNet3D(
+        block_out_channels=CHS, attn_heads=4, cross_attention_dim=64,
+        use_motion_module=True, camera_cond=True,
+    )
+    vae = AutoencoderKL(block_out_channels=(32, 32, 32, 32))
+    text = CLIPTextModel(vocab_size=49408, hidden_size=64, num_layers=2, num_heads=4)
+    pose_enc = CameraPoseEncoder(channels=CHS, temporal_attention_nhead=4)
+    adapter = ObjectAdapter(channels=CHS)
+
+    hl, wl = H // 8, W // 8
+    x = jnp.zeros((2, F, hl, wl, 4))
+    ctx = jnp.zeros((2, 77, 64))
+    pose = [jnp.zeros((2, F, hl // 2**i, wl // 2**i, c)) for i, c in enumerate(CHS)]
+    unet_params = unet.init(key, x, jnp.zeros((2,), jnp.int32), ctx, pose_features=pose)
+    vae_params = vae.init(key, jnp.zeros((1, H, W, 3)))
+    text_params = text.init(key, jnp.zeros((1, 77), jnp.int32))
+    pose_params = pose_enc.init(key, jnp.zeros((1, F, H, W, 6)))
+    adapter_params = adapter.init(key, jnp.zeros((F, H, W, 13)), jnp.zeros((F, H, W, 1)))
+
+    return AnimationPipeline(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params,
+        tokenizer=HashTokenizer(),
+        schedule=DiffusionSchedule.from_config(),
+        pose_encoder=pose_enc, pose_encoder_params=pose_params,
+        adapter=adapter, adapter_params=adapter_params,
+    )
+
+
+def test_text_to_video(pipe):
+    video = pipe(
+        ["a cat walks"], video_length=F, height=H, width=W,
+        num_inference_steps=3, rng=jax.random.PRNGKey(1),
+    )
+    assert video.shape == (1, F, H, W, 3)
+    v = np.asarray(video)
+    assert v.min() >= 0.0 and v.max() <= 1.0 and np.isfinite(v).all()
+
+
+def test_camera_ctrl_changes_output(pipe):
+    kw = dict(video_length=F, height=H, width=W, num_inference_steps=2, rng=jax.random.PRNGKey(2), decode=False)
+    plucker = jnp.ones((1, F, H, W, 6)) * 0.3
+    lat_cam = pipe(["x"], plucker=plucker, **kw)
+    lat_plain = pipe(["x"], **kw)
+    assert lat_cam.shape == lat_plain.shape
+    # random-init pose encoder + trained-free merge: merge is zero-init so
+    # outputs should match at init (pose path inert)
+    np.testing.assert_allclose(np.asarray(lat_cam), np.asarray(lat_plain), atol=1e-4)
+
+
+def test_obj_ctrl_gating(pipe):
+    kw = dict(video_length=F, height=H, width=W, num_inference_steps=2, rng=jax.random.PRNGKey(3), decode=False)
+    hl, wl = H // 8, W // 8
+    rng = np.random.default_rng(0)
+    traj = [
+        jnp.asarray(rng.normal(size=(1, F, hl // 2**i, wl // 2**i, c)).astype(np.float32))
+        for i, c in enumerate(CHS)
+    ]
+    lat_obj = pipe(["x"], traj_features=traj, **kw)
+    lat_plain = pipe(["x"], **kw)
+    # nonzero traj features, t>=700 for both of 2 steps with 1000//2 spacing
+    # (timesteps 501, 1): first step t=501 < 700 -> gated off; also uncond zeroed.
+    # Use min_step 0 to force the effect:
+    lat_obj_on = pipe(["x"], traj_features=traj, omcm_min_step=0, **kw)
+    assert np.abs(np.asarray(lat_obj_on) - np.asarray(lat_plain)).max() > 1e-5
+    # with min_step 1000 the gate is always off -> identical to plain
+    lat_obj_off = pipe(["x"], traj_features=traj, omcm_min_step=1000, **kw)
+    np.testing.assert_allclose(np.asarray(lat_obj_off), np.asarray(lat_plain), atol=1e-5)
+    del lat_obj
+
+
+def test_multidiff_windowing(pipe):
+    video = pipe(
+        ["pan"], video_length=F, height=H, width=W, num_inference_steps=2,
+        rng=jax.random.PRNGKey(4), multidiff_total_steps=2, multidiff_overlaps=2,
+        decode=False,
+    )
+    # total frames = 2*(4-2)+2 = 6
+    assert video.shape == (1, 6, H // 8, W // 8, 4)
+    assert np.isfinite(np.asarray(video)).all()
