@@ -1,0 +1,9 @@
+from synfmc_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    is_main_process,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["create_mesh", "shard_batch", "replicate", "batch_sharding", "is_main_process"]

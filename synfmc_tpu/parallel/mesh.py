@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers — the DP/FSDP replacement for the
+reference's DDP/NCCL stack (SURVEY.md §2.6).
+
+The reference wraps modules in DistributedDataParallel and relies on NCCL
+all-reduce in backward (train_cam_ctrl.py:443-445); here the batch is sharded
+over a ``data`` mesh axis and XLA inserts the gradient psum.  A second
+``fsdp`` axis is reserved for optionally sharding parameters/optimizer state
+(ZeRO-style) — at reference model scale (<2B) it stays size 1 by default.
+
+Multi-host: ``jax.distributed.initialize()`` replaces init_process_group;
+``jax.process_index() == 0`` replaces the rank-0 guards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_data: Optional[int] = None, num_fsdp: int = 1, devices=None) -> Mesh:
+    """Mesh over all (or given) devices with ('data', 'fsdp') axes."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = devices.size // num_fsdp
+    assert num_data * num_fsdp == devices.size, (
+        f"{devices.size} devices cannot form a {num_data}x{num_fsdp} mesh"
+    )
+    return Mesh(devices.reshape(num_data, num_fsdp), axis_names=("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for batches."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Put a host batch onto the mesh, sharded on the leading axis."""
+    s = batch_sharding(mesh)
+    r = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, s if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0 else r)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate params/optimizer state over the mesh."""
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def is_main_process() -> bool:
+    """Rank-0 guard (reference global_rank == 0 pattern)."""
+    return jax.process_index() == 0
+
+
+def local_shard_indices(total: int) -> np.ndarray:
+    """Per-host dataset shard (DistributedSampler replacement): this host's
+    example indices, round-robin by process index."""
+    return np.arange(jax.process_index(), total, jax.process_count())

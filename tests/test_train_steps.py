@@ -1,0 +1,190 @@
+"""Train-step tests for all three stages on tiny models (CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synfmc_tpu.data.tokenizer import HashTokenizer
+from synfmc_tpu.diffusion import DiffusionSchedule
+from synfmc_tpu.models.adapter import ObjectAdapter
+from synfmc_tpu.models.clip_text import CLIPTextModel
+from synfmc_tpu.models.pose_encoder import CameraPoseEncoder
+from synfmc_tpu.models.unet3d import UNet3D
+from synfmc_tpu.models.vae import AutoencoderKL
+from synfmc_tpu.training.optim import make_optimizer
+from synfmc_tpu.training.params import (
+    count_params,
+    merge_params,
+    partition_params,
+    stage1_lora_trainable,
+    stage2_cmc_unet_trainable,
+)
+from synfmc_tpu.training.steps import (
+    StepConfig,
+    TrainState,
+    init_train_state,
+    make_cam_train_step,
+    make_lora_train_step,
+    make_obj_train_step,
+)
+
+CHS = (32, 64, 128, 128)
+H, W, F, B, O = 64, 128, 2, 2, 3
+HL, WL = H // 8, W // 8
+
+
+def _models(camera=False, lora=0):
+    unet = UNet3D(
+        block_out_channels=CHS, attn_heads=4, cross_attention_dim=32,
+        use_motion_module=camera, camera_cond=camera, lora_rank=lora,
+    )
+    vae = AutoencoderKL(block_out_channels=(32, 32, 32, 32))
+    text = CLIPTextModel(vocab_size=49408, hidden_size=32, num_layers=1, num_heads=2)
+    return unet, vae, text
+
+
+def _frozen_params(key, unet, vae, text, frames=F):
+    x = jnp.zeros((1, frames, HL, WL, 4))
+    ctx = jnp.zeros((1, 77, 32))
+    pose = (
+        [jnp.zeros((1, frames, HL // 2**i, WL // 2**i, c)) for i, c in enumerate(CHS)]
+        if unet.camera_cond
+        else None
+    )
+    unet_v = unet.init(key, x, jnp.zeros((1,), jnp.int32), ctx, pose_features=pose)
+    vae_v = vae.init(key, jnp.zeros((1, H, W, 3)))
+    text_v = text.init(key, jnp.zeros((1, 77), jnp.int32))
+    return unet_v["params"], vae_v, text_v
+
+
+def _text_batch(b=B):
+    tok = HashTokenizer()
+    return {
+        "input_ids": jnp.asarray(tok(["a red car drives"] * b)),
+        "background_ids": jnp.asarray(tok(["a forest"] * b)),
+        "null_ids": jnp.asarray(tok([""])[0]),
+    }
+
+
+def test_stage1_lora_step(rng):
+    unet, vae, text = _models(camera=False, lora=2)
+    key = jax.random.PRNGKey(0)
+    unet_params, vae_v, text_v = _frozen_params(key, unet, vae, text, frames=1)
+    trainable_unet, frozen_unet = partition_params(unet_params, stage1_lora_trainable)
+    assert count_params(trainable_unet) > 0
+
+    tx = make_optimizer(1e-3)
+    state = init_train_state({"unet": trainable_unet}, tx)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    step = jax.jit(make_lora_train_step(unet, vae, text, DiffusionSchedule.from_config(beta_schedule="scaled_linear"), tx))
+
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32)).clip(-1, 1),
+        **_text_batch(),
+    }
+    state2, metrics = step(state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # only LoRA params changed
+    diff = jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+                                  state.trainable, state2.trainable)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def _video_batch(rng, b=B):
+    return {
+        "pixel_values": jnp.asarray(rng.normal(size=(b, F, H, W, 3)).astype(np.float32)).clip(-1, 1),
+        "camera_rt": jnp.asarray(rng.normal(size=(b, F, 12)).astype(np.float32)),
+        "intrinsics": jnp.asarray(
+            np.broadcast_to(np.array([W, H, 0, 0], np.float32), (b, F, 4)).copy()
+        ),
+        "obj_union_mask": jnp.asarray(
+            (rng.uniform(size=(b, F, H, W, 1)) > 0.7).astype(np.float32)
+        ),
+        **_text_batch(b),
+    }
+
+
+@pytest.fixture(scope="module")
+def cam_setup():
+    unet, vae, text = _models(camera=True)
+    pose_enc = CameraPoseEncoder(channels=CHS, temporal_attention_nhead=4)
+    key = jax.random.PRNGKey(0)
+    unet_params, vae_v, text_v = _frozen_params(key, unet, vae, text)
+    pose_v = pose_enc.init(key, jnp.zeros((1, F, H, W, 6)))
+    return unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v
+
+
+def test_stage2_cam_step(cam_setup, rng):
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    assert count_params(trainable_unet) > 0, "no qkv_merge params found"
+
+    tx = make_optimizer(1e-4)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+    state = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    step = jax.jit(make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg))
+
+    batch = _video_batch(rng)
+    state2, metrics = step(state, frozen, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mask_loss"]))
+    # pose encoder trains
+    d = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+        state.trainable["pose_encoder"], state2.trainable["pose_encoder"],
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_stage2_sharded_over_mesh(cam_setup, rng):
+    from synfmc_tpu.parallel import create_mesh, replicate, shard_batch
+
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    tx = make_optimizer(1e-4)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+    state = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    step = jax.jit(make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg))
+
+    mesh = create_mesh()  # 8 virtual CPU devices
+    assert mesh.shape["data"] == 8
+    batch = shard_batch(_video_batch(rng, b=8), mesh)
+    state = replicate(state, mesh)
+    frozen = replicate(frozen, mesh)
+    state2, metrics = step(state, frozen, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_stage3_obj_step(cam_setup, rng):
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    adapter = ObjectAdapter(channels=CHS)
+    adapter_v = adapter.init(jax.random.PRNGKey(0), jnp.zeros((F, H, W, 13)), jnp.zeros((F, H, W, 1)))
+
+    _, frozen_unet = partition_params(unet_params, lambda p: False)
+    tx = make_optimizer(1e-6)
+    cfg = StepConfig(
+        apply_masked_loss=True, invert_loss_mask=False, sd_loss_weight=0.3,
+        sample_height=H, sample_width=W,
+    )
+    state = init_train_state({"adapter": adapter_v["params"]}, tx)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v, "pose_encoder": pose_v["params"]}
+    step = jax.jit(
+        make_obj_train_step(unet, pose_enc, adapter, vae, text, DiffusionSchedule.from_config(), tx, cfg)
+    )
+
+    batch = _video_batch(rng)
+    batch["obj_info"] = jnp.asarray(rng.normal(size=(B, F, O, 12)).astype(np.float32))
+    masks = (rng.uniform(size=(B, F, O, H, W)) > 0.8).astype(np.float32)
+    masks[:, :, O - 1] = 0  # padding object
+    batch["obj_masks"] = jnp.asarray(masks)
+    state2, metrics = step(state, frozen, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(metrics["loss"]))
+    d = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+        state.trainable["adapter"], state2.trainable["adapter"],
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
