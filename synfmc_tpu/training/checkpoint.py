@@ -1,0 +1,190 @@
+"""Checkpoint save/resume.
+
+Two formats:
+1. **Native (Orbax)** — full TrainState (step, trainable, optimizer state)
+   for exact resume, replacing the reference's torch.save resume dicts
+   (train_image_lora.py:282-296, train_cam_ctrl.py:467-495).
+2. **Reference-compatible bundles** (torch.save) with the same logical
+   layout, so weights interconvert with the PyTorch reference:
+   - stage 1: {epoch, global_step, lora_state_dict}
+     (train_image_lora.py:387-396)
+   - stage 2: {epoch, global_step, pose_encoder_state_dict,
+     attention_processor_state_dict} (train_cam_ctrl.py:669-684)
+   - stage 3: separate cmcm/omcm/img-lora files
+     (train_cam_obj_ctrl.py:948-980)
+   Optimizer state is NOT exported to torch bundles (framework-specific);
+   note the reference itself skips optimizer restore in stage 3 (574-578).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# native orbax checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_native(ckpt_dir: str, step: int, state: Any) -> str:
+    """Save a TrainState (or any pytree) under ckpt_dir/step-N."""
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step-{step}")
+    _ckptr().save(path, jax.device_get(state))
+    return path
+
+
+def restore_native(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    return _ckptr().restore(path, item=template)
+
+
+def latest_native(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step-") and name[5:].isdigit():
+            steps.append(int(name[5:]))
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"step-{max(steps)}")
+
+
+# ---------------------------------------------------------------------------
+# reference-compatible torch bundles
+# ---------------------------------------------------------------------------
+
+
+def _torch_save(obj: dict, path: str) -> None:
+    import torch
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save(
+        jax.tree_util.tree_map(
+            lambda x: torch.from_numpy(np.ascontiguousarray(x)) if isinstance(x, np.ndarray) else x,
+            obj,
+        ),
+        path,
+    )
+
+
+def torch_load_state_dict(path: str) -> dict:
+    """Load a torch checkpoint into a dict of numpy arrays."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else x
+
+    return jax.tree_util.tree_map(to_np, obj)
+
+
+def save_stage1_bundle(path: str, lora_params: dict, epoch: int, global_step: int) -> None:
+    """lora_params: the trainable-unet subtree (LoRA branches only)."""
+    from synfmc_tpu.interop.torch_port import export_torch_state
+
+    _torch_save(
+        {
+            "epoch": epoch,
+            "global_step": global_step,
+            "lora_state_dict": export_torch_state(jax.device_get(lora_params), "unet"),
+        },
+        path,
+    )
+
+
+def save_stage2_bundle(
+    path: str, pose_encoder_params: dict, merge_params: dict, epoch: int, global_step: int,
+    mm_params: Optional[dict] = None,
+) -> None:
+    from synfmc_tpu.interop.torch_port import export_torch_state
+
+    bundle = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "pose_encoder_state_dict": export_torch_state(
+            jax.device_get(pose_encoder_params), "pose_encoder"
+        ),
+        "attention_processor_state_dict": export_torch_state(
+            jax.device_get(merge_params), "unet"
+        ),
+    }
+    if mm_params:
+        bundle["mm_state_dict"] = export_torch_state(jax.device_get(mm_params), "unet")
+    _torch_save(bundle, path)
+
+
+def save_stage3_bundles(
+    out_dir: str, global_step: int,
+    omcm_params: dict,
+    pose_encoder_params: Optional[dict] = None,
+    merge_params: Optional[dict] = None,
+    lora_params: Optional[dict] = None,
+) -> list[str]:
+    """Separate cmcm/omcm/img-lora files (train_cam_obj_ctrl.py:948-980)."""
+    from synfmc_tpu.interop.torch_port import export_torch_state
+
+    paths = []
+    omcm_path = os.path.join(out_dir, f"omcm-step-{global_step}.ckpt")
+    _torch_save(
+        {
+            "global_step": global_step,
+            "omcm_state_dict": export_torch_state(jax.device_get(omcm_params), "adapter"),
+        },
+        omcm_path,
+    )
+    paths.append(omcm_path)
+    if pose_encoder_params is not None:
+        cmcm_path = os.path.join(out_dir, f"cmcm-step-{global_step}.ckpt")
+        _torch_save(
+            {
+                "global_step": global_step,
+                "pose_encoder_state_dict": export_torch_state(
+                    jax.device_get(pose_encoder_params), "pose_encoder"
+                ),
+                "attention_processor_state_dict": export_torch_state(
+                    jax.device_get(merge_params or {}), "unet"
+                ),
+            },
+            cmcm_path,
+        )
+        paths.append(cmcm_path)
+    if lora_params is not None:
+        lora_path = os.path.join(out_dir, f"img-lora-step-{global_step}.ckpt")
+        _torch_save(
+            {
+                "global_step": global_step,
+                "lora_state_dict": export_torch_state(jax.device_get(lora_params), "unet"),
+            },
+            lora_path,
+        )
+        paths.append(lora_path)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# loading reference checkpoints into our trees
+# ---------------------------------------------------------------------------
+
+
+def load_into_params(params_template: dict, state_dict: dict, model_kind: str) -> dict:
+    """Partial load: fill whatever the state dict covers; assert the state
+    dict is fully consumed (the reference's `assert len(unexpected)==0`
+    pattern, train_cam_ctrl.py:242-254)."""
+    from synfmc_tpu.interop.torch_port import import_torch_state
+
+    params, report = import_torch_state(params_template, state_dict, model_kind, strict=False)
+    assert not report["unused"], f"unconsumed checkpoint keys: {report['unused'][:5]}"
+    return params
