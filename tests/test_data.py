@@ -1,0 +1,140 @@
+"""Data pipeline tests on the synthetic fixture dataset."""
+
+import numpy as np
+import pytest
+
+from synfmc_tpu.data.dataset import UnrealTrajLoraDataset, UnrealTrajVideoDataset
+from synfmc_tpu.data.fixture import build_synthetic_dataset
+from synfmc_tpu.data.loader import ShardedLoader
+from synfmc_tpu.data.masks import (
+    is_normal_size,
+    min_enclosing_circle,
+    sphere_gaussian_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synfmc")
+    kwargs = build_synthetic_dataset(str(root), num_seqs=2, num_objects=2, num_frames=48)
+    return kwargs
+
+
+def test_min_enclosing_circle():
+    pts = np.array([[0, 0], [10, 0], [5, 5], [5, -5]])
+    (cx, cy), r = min_enclosing_circle(pts)
+    assert abs(cx - 5) < 1e-6 and abs(cy) < 1e-6
+    assert abs(r - 5) < 1e-6
+    # all points inside
+    d = np.linalg.norm(pts - np.array([cx, cy]), axis=1)
+    assert (d <= r + 1e-6).all()
+
+
+def test_sphere_gaussian_mask():
+    mask = np.zeros((32, 32, 1), bool)
+    mask[10:20, 12:22] = True
+    g = sphere_gaussian_mask(mask)
+    assert g.shape == (32, 32)
+    assert g.max() <= 1.0 and g.min() >= 0.0
+    # peak near the center of the box
+    cy, cx = np.unravel_index(g.argmax(), g.shape)
+    assert abs(cy - 14.5) <= 2 and abs(cx - 16.5) <= 2
+    # falls to zero outside the enclosing circle
+    assert g[0, 0] == 0.0
+
+
+def test_is_normal_size():
+    m = np.zeros((100, 100), bool)
+    assert not is_normal_size(m)
+    m[40:43, 40:43] = True  # 9 px bbox < 1.5%
+    assert not is_normal_size(m, percentage=0.015)
+    m[30:60, 30:60] = True
+    assert is_normal_size(m, percentage=0.015)
+
+
+def test_video_dataset_sample(data_root):
+    ds = UnrealTrajVideoDataset(
+        **data_root, sample_n_frames=8, sample_size=(64, 96),
+        cam_translation_rescale_factor=1200, obj_translation_rescale_factor=1000,
+        max_objects=3, seed=0,
+    )
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["pixel_values"].shape == (8, 64, 96, 3)
+    assert s["pixel_values"].min() >= -1.0 and s["pixel_values"].max() <= 1.0
+    assert s["camera_rt"].shape == (8, 12)
+    assert s["intrinsics"].shape == (8, 4)
+    # intrinsics quirk: fx=sensor_w, fy=sensor_h, cx=cy=0
+    assert (s["intrinsics"][:, 0] == 96).all() and (s["intrinsics"][:, 1] == 64).all()
+    assert (s["intrinsics"][:, 2:] == 0).all()
+    assert s["obj_info"].shape == (8, 3, 12)
+    assert s["obj_masks"].shape == (8, 3, 64, 96)
+    assert s["obj_union_mask"].shape == (8, 64, 96, 1)
+    assert s["caption"] != ""
+    # first-frame camera: absolute rotation, zero translation
+    first = s["camera_rt"][0].reshape(3, 4)
+    np.testing.assert_allclose(first[:, 3], 0.0)
+    np.testing.assert_allclose(first[:, :3] @ first[:, :3].T, np.eye(3), atol=1e-5)
+
+
+def test_video_dataset_sphere_masks(data_root):
+    ds = UnrealTrajVideoDataset(
+        **data_root, sample_n_frames=4, sample_size=(64, 96), use_sphere_mask=True,
+        max_objects=3, seed=1,
+    )
+    s = ds[0]
+    vals = s["obj_masks"][s["obj_masks"] > 0]
+    # Gaussian sphere masks have fractional values, not just {0, 1}
+    assert ((vals > 0) & (vals <= 1)).all()
+    assert (vals < 0.99).any()
+
+
+def test_lora_dataset_sample(data_root):
+    ds = UnrealTrajLoraDataset(**data_root, sample_size=(64, 96), seed=2)
+    s = ds[0]
+    assert s["pixel_values"].shape == (64, 96, 3)
+    assert s["caption"] != ""
+
+
+def test_captions_are_diverse_and_deterministic(data_root):
+    ds1 = UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96), seed=7)
+    ds2 = UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96), seed=7)
+    caps1 = [ds1[i]["caption"] for i in range(2)]
+    caps2 = [ds2[i]["caption"] for i in range(2)]
+    assert caps1 == caps2  # seeded determinism
+    many = [UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96), seed=s)[0]["caption"] for s in range(6)]
+    assert len(set(many)) > 2  # template diversity
+
+
+def test_sharded_loader(data_root):
+    ds = UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96), max_objects=3, seed=3)
+    loader = ShardedLoader(
+        ds, batch_size=2, collate_fn=UnrealTrajVideoDataset.collate_fn,
+        num_workers=2, process_index=0, process_count=1,
+    )
+    batch = next(iter(loader))
+    assert batch["pixel_values"].shape == (2, 4, 64, 96, 3)
+    assert batch["obj_info"].shape == (2, 4, 3, 12)
+    assert len(batch["captions"]) == 2
+
+    # two-process sharding partitions the index space
+    l0 = ShardedLoader(ds, 1, UnrealTrajVideoDataset.collate_fn, shuffle=False,
+                       process_index=0, process_count=2)
+    l1 = ShardedLoader(ds, 1, UnrealTrajVideoDataset.collate_fn, shuffle=False,
+                       process_index=1, process_count=2)
+    assert set(l0._epoch_indices()) | set(l1._epoch_indices()) == {0, 1}
+    assert not (set(l0._epoch_indices()) & set(l1._epoch_indices()))
+
+
+def test_verb_morphology():
+    from synfmc_tpu.data.captions import present_continuous, third_person_singular
+
+    # reference utils.py:122-142 rules
+    assert present_continuous("run") == "running"
+    assert present_continuous("move") == "moving"
+    assert present_continuous("die") == "dying"
+    assert present_continuous("fly") == "flying"
+    assert third_person_singular("fly") == "flies"
+    assert third_person_singular("walk") == "walks"
+    assert third_person_singular("push") == "pushes"
+    assert third_person_singular("go") == "goes"
