@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: CFG denoise-step throughput on the flagship model, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric definition (BASELINE.md): denoise steps/sec/chip for 16-frame
+256x384 video generation — each step is one CFG-paired UNet forward
+(uncond+cond batched) + the DDIM update, exactly the inference hot loop
+(fmc/pipelines/pipeline_animation.py:668-707).  Camera + object conditioning
+active (pose features at all 4 scales, traj features on the 3 CrossAttn down
+blocks).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the comparison
+constant below is the A100 AnimateDiff+CameraCtrl estimate of ~2.0 CFG
+denoise steps/s at this shape (25-step/16-frame clips in ~12s), and the
+north-star target is >=2x that per chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_STEPS_PER_S = 2.0
+
+
+def main():
+    from synfmc_tpu.diffusion import DiffusionSchedule
+    from synfmc_tpu.models.unet3d import UNet3D
+
+    dtype = jnp.bfloat16
+    chs = (320, 640, 1280, 1280)
+    xdim = 768
+    b, f, hl, wl = 1, 16, 32, 48  # 16 frames @ 256x384 latents
+    num_inference_steps = 25
+
+    unet = UNet3D(
+        block_out_channels=chs, attn_heads=8, cross_attention_dim=xdim,
+        use_motion_module=True, camera_cond=True, lora_rank=2, dtype=dtype,
+    )
+    schedule = DiffusionSchedule.from_config()
+
+    rng = jax.random.PRNGKey(0)
+    latents = jax.random.normal(rng, (b, f, hl, wl, 4), jnp.float32)
+    ctx = jax.random.normal(rng, (2 * b, 77, xdim), dtype)
+    pose = [
+        jax.random.normal(rng, (2 * b, f, hl // 2**i, wl // 2**i, c), dtype) * 0.02
+        for i, c in enumerate(chs)
+    ]
+    traj = [p * 0.5 for p in pose]
+    t_init = time.time()
+    params = unet.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((2 * b, f, hl, wl, 4), dtype), jnp.zeros((2 * b,), jnp.int32), ctx,
+        pose_features=pose, traj_features=traj,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"# params: {n_params/1e6:.1f}M (init {time.time()-t_init:.1f}s)")
+
+    timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
+
+    @jax.jit
+    def denoise(latents):
+        def body(lat, t):
+            lat_in = jnp.concatenate([lat, lat], axis=0).astype(dtype)
+            eps = unet.apply(
+                params, lat_in, jnp.full((2 * b,), t), ctx,
+                pose_features=pose, traj_features=[tr * (t >= 700) for tr in traj],
+            )
+            uncond, cond = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+            eps_cfg = uncond + 8.0 * (cond - uncond)
+            return schedule.ddim_step(eps_cfg, t, lat, num_inference_steps), None
+
+        out, _ = jax.lax.scan(body, latents, timesteps)
+        return out
+
+    # warmup/compile
+    t0 = time.time()
+    denoise(latents).block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# compile+first run: {compile_s:.1f}s")
+
+    # timed runs
+    n_runs = 3
+    t0 = time.time()
+    for _ in range(n_runs):
+        latents = denoise(latents)
+    latents.block_until_ready()
+    elapsed = time.time() - t0
+    steps_per_s = n_runs * num_inference_steps / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "cfg_denoise_steps_per_sec_per_chip_16f_256x384",
+                "value": round(steps_per_s, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / A100_BASELINE_STEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

