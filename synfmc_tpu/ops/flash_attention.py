@@ -1,17 +1,242 @@
-"""Pallas flash-attention kernel (TPU).
+"""Pallas TPU fused attention.
 
-Filled in by the perf phase; until then flash_supported gates everything to
-the XLA path.
+Design notes (TPU-first, not a GPU flash-attention translation):
+
+The spatial self-attention hot path runs at seq <= ~4k tokens with head dims
+40/80/160 (SD1.5 channels / 8 heads).  At those sizes the full K/V for one
+(batch*head) easily fits VMEM (1536 x 128 fp32 ~ 0.8 MB), so the kernel keeps
+K/V resident and tiles only the query axis: per (bh, q-block) step it computes
+logits -> stable softmax -> PV entirely on-chip, so the (Sq x Sk) logits never
+touch HBM.  This is the memory win flash attention exists for, without the
+streaming-softmax bookkeeping that only pays off when K/V exceed VMEM.
+
+Layouts: inputs (B, S, H, D) -> kernel operates on (B*H, S, Dp) with D padded
+to the 128-lane boundary.  fp32 softmax accumulation regardless of input
+dtype (bf16 in the bench path).
+
+Backward is a custom VJP with the standard dS = P*(dO V^T - rowsum(dO*O))
+decomposition, also Pallas, accumulating dK/dV across sequential q-block grid
+steps in VMEM scratch.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Max K/V bytes we allow resident per (batch*head) before falling back to XLA.
+_MAX_KV_SEQ = 4096
+_LANE = 128
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def flash_supported(q, k, v) -> bool:
-    return False
+    if jax.default_backend() != "tpu":
+        return False
+    if q.ndim != 4:
+        return False
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if sk > _MAX_KV_SEQ:
+        return False
+    if d > 256:
+        return False
+    return True
 
 
-def flash_attention(q, k, v, scale: float):
-    raise NotImplementedError
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, sk: int):
+    # block refs carry a leading singleton (bh) dim: q_ref (1, BQ, Dp) etc.
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, Sk_p)
+    # mask padded kv rows
+    if logits.shape[1] != sk:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < sk, logits, -1e30)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _fwd(q3, k3, v3, scale, block_q, true_sk, interpret=False):
+    """q3: (BH, Sq_p, Dp), k3/v3: (BH, Sk_p, Dp) — padded inputs; true_sk
+    masks the zero-padded KV rows out of the softmax."""
+    bh, sq_p, dp = q3.shape
+    sk_p = k3.shape[1]
+    grid = (bh, sq_p // block_q)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, sk=true_sk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dp), q3.dtype),
+        interpret=interpret,
+    )(q3, k3, v3)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                *, scale: float, sk: int):
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    if logits.shape[1] != sk:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < sk, logits, -1e30)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p = p / denom  # softmax probs (BQ, Sk_p)
+
+    dp_ = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (BQ, Sk_p)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    delta = jnp.sum(do * o, axis=1, keepdims=True)  # rowsum(dO * O)
+    ds = p * (dp_ - delta) * scale  # (BQ, Sk_p)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Sk_p, Dp)
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(q3, k3, v3, do3, scale, block_q, true_sk, interpret=False):
+    bh, sq_p, dp = q3.shape
+    sk_p = k3.shape[1]
+    grid = (bh, sq_p // block_q)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, sk=true_sk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, dp), q3.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, dp), k3.dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, dp), v3.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sk_p, dp), jnp.float32),
+            pltpu.VMEM((sk_p, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q3, k3, v3, do3)
+
+
+# ---------------------------------------------------------------------------
+# public API with padding + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _prep(x):
+    """(B, S, H, D) -> (B*H, S_p, D_p) with zero padding."""
+    b, s, h, d = x.shape
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+    sp = _pad_to(s, 8)
+    dp = _pad_to(d, _LANE)
+    if sp != s or dp != d:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, dp - d)))
+    return x
+
+
+def _unprep(x3, b, s, h, d):
+    x3 = x3[:, :s, :d]
+    return x3.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _pick_block_q(sq_p: int) -> int:
+    for bq in (512, 256, 128, 64, 32, 16, 8):
+        if sq_p % bq == 0:
+            return bq
+    return sq_p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, scale: float, interpret: bool = False):
+    out, _ = _flash_fwd(q, k, v, scale, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale: float, interpret: bool = False):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    q3, k3, v3 = _prep(q), _prep(k), _prep(v)
+    block_q = _pick_block_q(q3.shape[1])
+    o3 = _fwd(q3, k3, v3, scale, block_q, sk, interpret=interpret)
+    return _unprep(o3, b, sq, h, d), (q, k, v)
+
+
+def _flash_bwd(scale, interpret, res, g):
+    q, k, v = res
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    q3, k3, v3, g3 = _prep(q), _prep(k), _prep(v), _prep(g)
+    block_q = _pick_block_q(q3.shape[1])
+    dq3, dk3, dv3 = _bwd(q3, k3, v3, g3, scale, block_q, sk, interpret=interpret)
+    return (
+        _unprep(dq3, b, sq, h, d).astype(q.dtype),
+        _unprep(dk3, b, sk, h, d).astype(k.dtype),
+        _unprep(dv3, b, sk, h, d).astype(v.dtype),
+    )
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

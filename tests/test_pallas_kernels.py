@@ -1,0 +1,91 @@
+"""Pallas kernel correctness tests (interpret mode on the CPU mesh)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synfmc_tpu.ops.attention import _xla_attention
+from synfmc_tpu.ops.flash_attention import flash_attention
+from synfmc_tpu.ops.norms import group_norm
+from synfmc_tpu.ops.pallas_groupnorm import fused_group_norm
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h,d",
+    [
+        (2, 128, 128, 4, 40),   # spatial self-attn shape (head dim 40, padded)
+        (1, 128, 77, 2, 64),    # cross-attn to text tokens
+        (2, 100, 100, 2, 32),   # non-multiple seq (padding path)
+        (3, 16, 16, 8, 160),    # temporal-ish, head dim > 128
+    ],
+)
+def test_flash_forward_matches_xla(rng, b, sq, sk, h, d):
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h, d)).astype(np.float32))
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    got = np.asarray(flash_attention(q, k, v, scale, True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_backward_matches_xla(rng):
+    b, s, h, d = 1, 64, 2, 40
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    scale = d**-0.5
+    cot = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, True) * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
+
+
+def test_flash_bf16(rng):
+    b, s, h, d = 2, 128, 4, 80
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+    scale = d**-0.5
+    got = flash_attention(q, k, v, scale, True)
+    assert got.dtype == jnp.bfloat16
+    want = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+@pytest.mark.parametrize("act", [None, "silu"])
+@pytest.mark.parametrize("c,groups", [(128, 32), (256, 32)])
+def test_fused_group_norm_matches_xla(rng, act, c, groups):
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    want = np.asarray(group_norm(x, scale, bias, groups, eps=1e-6, act=act, use_pallas=False))
+    got = np.asarray(fused_group_norm(x, scale, bias, groups, 1e-6, act, True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_group_norm_grads(rng):
+    c, groups = 128, 32
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, c)).astype(np.float32))
+    scale = jnp.ones((c,))
+    bias = jnp.zeros((c,))
+
+    f_pallas = lambda x, s, b: jnp.sum(fused_group_norm(x, s, b, groups, 1e-6, "silu", True) ** 2)
+    f_xla = lambda x, s, b: jnp.sum(group_norm(x, s, b, groups, eps=1e-6, act="silu", use_pallas=False) ** 2)
+    g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
