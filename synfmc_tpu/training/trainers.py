@@ -323,6 +323,10 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         global_step = int(state.step)
         logger.info(f"resumed from {resume_from} at step {global_step}")
 
+    validation_steps = int(config.get("validation_steps", -1))
+    validation_steps_tuple = tuple(config.get("validation_steps_tuple", ()) or ())
+    do_sanity = bool(config.get("do_sanity_check", False))
+    profile_steps = int(config.get("profile_steps", 0))  # jax.profiler trace
     metrics_out: dict = {}
     t_train_start = time.time()
     epoch = 0
@@ -340,9 +344,33 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         batch = to_device_batch(raw)
         data_time = time.time() - data_t0
 
+        if global_step == 0 and do_sanity and is_main_process():
+            _sanity_check_dump(stage, run_dir, raw)
+        if profile_steps and global_step == 2 and is_main_process():
+            jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+
         rng, step_rng = jax.random.split(rng)
         state, metrics = jit_step(state, frozen, batch, step_rng)
         global_step += 1
+
+        if profile_steps and global_step == 2 + profile_steps and is_main_process():
+            jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {run_dir}/trace")
+
+        if is_main_process() and (
+            (validation_steps > 0 and global_step % validation_steps == 0)
+            or global_step in validation_steps_tuple
+        ) and bool(config.get("enable_validation", False)):
+            try:
+                run_validation(
+                    stage, run_dir, global_step, models,
+                    {"unet": f_unet, "vae": params["vae"], "text": params["text"],
+                     "pose_encoder": params.get("pose_encoder")},
+                    state, config, tokenizer, schedule,
+                )
+            except Exception as e:  # validation must never kill training
+                logger.warning(f"validation at step {global_step} failed: {e}")
 
         if global_step % logger_interval == 0 or global_step == max_steps:
             loss = float(metrics["loss"])
@@ -366,6 +394,83 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         run_dir=run_dir,
     )
     return metrics_out
+
+
+def run_validation(stage, run_dir, global_step, models, params, state, config, tokenizer, schedule):
+    """Render validation samples (reference validation passes,
+    train_cam_ctrl.py:686-779): gifs/pngs under samples/{step}/ plus camera
+    label txts for RotErr/TransErr evaluation."""
+    import numpy as np
+
+    from synfmc_tpu.pipelines import AnimationPipeline
+    from synfmc_tpu.training.params import merge_params as _merge
+    from synfmc_tpu.utils.video import save_camera_info_txt, save_image_grid, save_videos_grid
+
+    val = config.get("validation_data") or {}
+    prompts = list(val.get("prompts", []))[: int(val.get("num", 2))]
+    if not prompts:
+        return
+    out_dir = os.path.join(run_dir, "samples", str(global_step))
+    os.makedirs(out_dir, exist_ok=True)
+
+    trainable = jax.device_get(state.trainable)
+    unet_params = {"params": _merge(params["unet"], trainable.get("unet", {}))}
+    pipe = AnimationPipeline(
+        unet=models["unet"], unet_params=unet_params,
+        vae=models["vae"], vae_params={"params": params["vae"]},
+        text_encoder=models["text"], text_params={"params": params["text"]},
+        tokenizer=tokenizer, schedule=schedule,
+        pose_encoder=models.get("pose_encoder"),
+        pose_encoder_params={"params": trainable.get("pose_encoder", params.get("pose_encoder"))}
+        if "pose_encoder" in models else None,
+        adapter=models.get("adapter"),
+        adapter_params={"params": trainable.get("adapter")} if "adapter" in models else None,
+    )
+    train_params = config.get_path("train_data.params", ConfigDict()) or {}
+    h, w = tuple(train_params.get("sample_size", (256, 384)))
+    steps = int(val.get("num_inference_steps", 25))
+    guidance = float(val.get("guidance_scale", 8.0))
+    rng = jax.random.PRNGKey(int(config.get("global_seed", 42)))
+
+    if stage == "lora":
+        imgs = pipe(prompts, video_length=1, height=h, width=w,
+                    num_inference_steps=steps, guidance_scale=guidance, rng=rng)
+        save_image_grid(np.asarray(imgs[:, 0]), os.path.join(out_dir, "validation.png"))
+        return
+
+    f = int(train_params.get("sample_n_frames", 16))
+    plucker = None
+    if "pose_encoder" in models:
+        # neutral straight-ahead trajectory for validation rendering
+        intr = jnp.broadcast_to(jnp.asarray([w, h, 0, 0], jnp.float32), (len(prompts), f, 4))
+        c2w = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (len(prompts), f, 4, 4))
+        from synfmc_tpu.geometry.plucker import plucker_embedding
+
+        plucker = plucker_embedding(intr, c2w, h, w)
+        for i in range(len(prompts)):
+            save_camera_info_txt(
+                os.path.join(out_dir, f"{i}-camera.txt"),
+                np.asarray(intr[i]),
+                np.broadcast_to(np.eye(3, 4, dtype=np.float32), (f, 3, 4)),
+            )
+    videos = pipe(prompts, video_length=f, height=h, width=w,
+                  num_inference_steps=steps, guidance_scale=guidance, rng=rng, plucker=plucker)
+    save_videos_grid(np.asarray(videos), os.path.join(out_dir, "validation.gif"))
+
+
+def _sanity_check_dump(stage, run_dir, raw_batch):
+    """First-batch sanity dump (reference do_sanity_check,
+    train_cam_ctrl.py:531-538)."""
+    import numpy as np
+
+    from synfmc_tpu.utils.video import save_image_grid, save_videos_grid
+
+    out = os.path.join(run_dir, "sanity_check")
+    pixels = np.asarray(raw_batch["pixel_values"]) * 0.5 + 0.5
+    if stage == "lora":
+        save_image_grid(pixels, os.path.join(out, "batch.png"))
+    else:
+        save_videos_grid(pixels, os.path.join(out, "batch.gif"))
 
 
 def _save_checkpoints(stage, run_dir, global_step, epoch, state, config):
