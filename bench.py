@@ -50,11 +50,16 @@ def main():
     ]
     traj = [p * 0.5 for p in pose]
     t_init = time.time()
-    params = unet.init(
+    # zero params via eval_shape: throughput is weight-value independent and
+    # full random init of 1.7B params takes ~10 min on-device.
+    shapes = jax.eval_shape(
+        lambda r: unet.init(
+            r, jnp.zeros((2 * b, f, hl, wl, 4), dtype), jnp.zeros((2 * b,), jnp.int32), ctx,
+            pose_features=pose, traj_features=traj,
+        ),
         jax.random.PRNGKey(1),
-        jnp.zeros((2 * b, f, hl, wl, 4), dtype), jnp.zeros((2 * b,), jnp.int32), ctx,
-        pose_features=pose, traj_features=traj,
     )
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"# params: {n_params/1e6:.1f}M (init {time.time()-t_init:.1f}s)")
 
