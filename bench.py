@@ -66,7 +66,7 @@ def main():
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
 
     @jax.jit
-    def denoise(latents):
+    def denoise(params, latents, ctx, pose, traj):
         def body(lat, t):
             lat_in = jnp.concatenate([lat, lat], axis=0).astype(dtype)
             eps = unet.apply(
@@ -82,7 +82,7 @@ def main():
 
     # warmup/compile
     t0 = time.time()
-    denoise(latents).block_until_ready()
+    denoise(params, latents, ctx, pose, traj).block_until_ready()
     compile_s = time.time() - t0
     print(f"# compile+first run: {compile_s:.1f}s")
 
@@ -90,7 +90,7 @@ def main():
     n_runs = 3
     t0 = time.time()
     for _ in range(n_runs):
-        latents = denoise(latents)
+        latents = denoise(params, latents, ctx, pose, traj)
     latents.block_until_ready()
     elapsed = time.time() - t0
     steps_per_s = n_runs * num_inference_steps / elapsed

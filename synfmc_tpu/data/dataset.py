@@ -324,14 +324,40 @@ class UnrealTrajVideoDataset:
         m2d = mask[..., 0] if mask.ndim == 3 else mask
         return resize_mask_nearest(m2d.astype(np.float32), h, w)
 
+    def sample_video_from_image_folder(self, folder: str, tgt_fps: int,
+                                       start_frame: Optional[int] = None):
+        """Fixed-fps whole-video sampling (dataset.py:5240-5276) — the
+        allow_change_tgt=True path."""
+        n = self.sample_n_frames
+        interval = round(self.ori_fps / tgt_fps)
+        length = self.ori_fps * self.time_duration
+        files = sorted(
+            os.path.join(folder, f) for f in os.listdir(folder)
+            if os.path.isfile(os.path.join(folder, f))
+        )[:-1]
+        in_range = [
+            p for p in files
+            if 0 <= int(os.path.basename(p).split("_")[1].split(".")[0]) < length
+        ]
+        assert len(in_range) == length, (len(in_range), length)
+        if start_frame is None:
+            start_frame = self.rng.randint(0, length - (n - 1) * interval - 1)
+        picks = [in_range[start_frame + i * interval] for i in range(n)]
+        frame_indices = [int(os.path.basename(p).split("_")[1].split(".")[0]) for p in picks]
+        return picks, frame_indices
+
     def get_batch(self, idx: int) -> Optional[dict]:
         video_path = self.dataset[idx]["clip_path"]
         if self.allow_change_tgt:
-            raise NotImplementedError("allow_change_tgt=False in all shipped configs")
-        clip_times = self.get_clip_time_list(idx)
-        tgt_fps, img_paths, frame_list, found = self.sample_clip_from_image_folder(video_path, clip_times)
-        if not found:
-            return None
+            tgt_fps = self.rng.choice(self.tgt_fps_list)
+            img_paths, frame_list = self.sample_video_from_image_folder(video_path, tgt_fps)
+        else:
+            clip_times = self.get_clip_time_list(idx)
+            tgt_fps, img_paths, frame_list, found = self.sample_clip_from_image_folder(
+                video_path, clip_times
+            )
+            if not found:
+                return None
 
         camera_info, intrinsics = self.get_camera_info_np(self.dataset[idx], frame_list)
         caption, background, per_frame = self.get_text_prompt_and_mask_list(idx, frame_list)
@@ -390,6 +416,50 @@ class UnrealTrajVideoDataset:
                 return sample
             idx = self.rng.randint(0, self.length - 1)
         raise RuntimeError("could not sample a captioned clip in 1000 tries")
+
+    # ---- validation prompt generators (dataset.py:1781, 3000, 3538, 4073) ----
+
+    SCENE_OBJECTS = {
+        "ground": ["a red robot", "a girl", "a knight", "a wolf"],
+        "sky": ["a dragon", "a drone", "an eagle"],
+        "underwater": ["a shark", "a turtle", "a submarine"],
+    }
+    SCENE_BACKGROUNDS = {
+        "ground": ["a grassy field", "a city street", "a desert"],
+        "sky": ["a cloudy sky", "a sunset sky"],
+        "underwater": ["a coral reef", "the deep ocean"],
+    }
+
+    @classmethod
+    def create_validation_prompts(cls, num: int = 4, use_synthetic_des: bool = True,
+                                  max_obj_num: int = 3, seed: int = 0) -> list[str]:
+        """Template-driven validation prompts without dataset access
+        (reference create_validation_prompts family)."""
+        from synfmc_tpu.data.captions import (
+            ACTION_WORDS,
+            DESCRIPTOR_TEMPLATE,
+            assemble_caption,
+            object_sentence,
+        )
+
+        rng = random.Random(seed)
+        prompts = []
+        for _ in range(num):
+            scene = rng.choice(list(cls.SCENE_OBJECTS))
+            n_obj = rng.randint(1, max_obj_num)
+            sentences = []
+            for _ in range(n_obj):
+                obj = rng.choice(cls.SCENE_OBJECTS[scene])
+                actions = [w for (s, _), ws in ACTION_WORDS.items() if s == scene for w in ws]
+                plain, _ = object_sentence(obj, rng.choice(actions), "", rng)
+                sentences.append(plain)
+            background = rng.choice(cls.SCENE_BACKGROUNDS[scene])
+            prompt = assemble_caption(
+                background, [sentences], [list(range(n_obj))], rng,
+                use_descriptor_prob=0.9 if use_synthetic_des else 0.0,
+            )
+            prompts.append(prompt)
+        return prompts
 
     @staticmethod
     def collate_fn(samples: list[dict]) -> dict:

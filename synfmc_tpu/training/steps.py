@@ -60,6 +60,10 @@ class StepConfig:
     min_step_prob: float = 0.8
     sample_height: int = 256
     sample_width: int = 384
+    # rematerialize the UNet forward in backward (jax.checkpoint) — the
+    # working version of the reference's NotImplementedError gradient
+    # checkpointing branches (unet_blocks.py:379,508,663,789)
+    remat: bool = False
 
 
 def rt_to_c2w(rt: jax.Array) -> jax.Array:
@@ -92,6 +96,10 @@ def _select_text(rngs, batch, cfg: StepConfig):
     return ids
 
 
+def _maybe_remat(apply_fn, cfg: StepConfig):
+    return jax.checkpoint(apply_fn) if cfg.remat else apply_fn
+
+
 def make_lora_train_step(
     unet, vae, text_encoder, schedule: DiffusionSchedule, tx: optax.GradientTransformation,
     cfg: StepConfig = StepConfig(),
@@ -100,6 +108,7 @@ def make_lora_train_step(
 
     batch: pixel_values (B, H, W, 3), input_ids (B, 77), null_ids (77,).
     """
+    unet_apply = _maybe_remat(unet.apply, cfg)
 
     def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
         rngs = jax.random.split(rng, 8)
@@ -113,7 +122,7 @@ def make_lora_train_step(
 
         def loss_fn(trainable):
             unet_params = {"params": merge_params(trainable["unet"], frozen["unet"])}
-            pred = unet.apply(unet_params, noisy, t, context)
+            pred = unet_apply(unet_params, noisy, t, context)
             return mse(pred, noise)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
@@ -135,6 +144,7 @@ def make_cam_train_step(
     null_ids (77,), camera_rt (B,F,12), intrinsics (B,F,4),
     obj_union_mask (B,F,H,W,1).
     """
+    unet_apply = _maybe_remat(unet.apply, cfg)
 
     def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
         rngs = jax.random.split(rng, 8)
@@ -157,7 +167,7 @@ def make_cam_train_step(
         def loss_fn(trainable):
             unet_params = {"params": merge_params(trainable["unet"], frozen["unet"])}
             pose_feats = pose_encoder.apply({"params": trainable["pose_encoder"]}, plucker)
-            pred = unet.apply(unet_params, noisy, t, context, pose_features=pose_feats)
+            pred = unet_apply(unet_params, noisy, t, context, pose_features=pose_feats)
             loss, metrics = masked_diffusion_loss(
                 pred, noise,
                 batch.get("obj_union_mask") if cfg.apply_masked_loss else None,
@@ -187,6 +197,7 @@ def make_obj_train_step(
     batch adds: obj_info (B,F,O,12), obj_masks (B,F,O,H,W) — padded object
     axis replacing the reference's ragged lists (SURVEY.md §7 hard parts).
     """
+    unet_apply = _maybe_remat(unet.apply, cfg)
 
     def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
         rngs = jax.random.split(rng, 8)
@@ -229,7 +240,7 @@ def make_obj_train_step(
             pose_feats = pose_encoder.apply({"params": pose_params}, plucker)
             adapter_feats = adapter.apply({"params": trainable["adapter"]}, flat_feats, flat_mask)
             traj_feats = [ft.reshape(b, f, *ft.shape[1:]) for ft in adapter_feats]
-            pred = unet.apply(
+            pred = unet_apply(
                 unet_params, noisy, t, context, pose_features=pose_feats, traj_features=traj_feats
             )
             union = (jnp.max(batch["obj_masks"], axis=2) > 0).astype(jnp.float32)[..., None]

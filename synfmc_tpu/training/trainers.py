@@ -239,6 +239,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         min_step_prob=float(config.get("min_step_prob", 0.8)),
         sample_height=sample_size[0],
         sample_width=sample_size[1],
+        remat=bool(config.get("gradient_checkpointing", False)),
     )
 
     # trainable/frozen partition per stage (SURVEY.md §2.1)

@@ -138,3 +138,22 @@ def test_verb_morphology():
     assert third_person_singular("walk") == "walks"
     assert third_person_singular("push") == "pushes"
     assert third_person_singular("go") == "goes"
+
+
+def test_allow_change_tgt_path(data_root):
+    ds = UnrealTrajVideoDataset(
+        **{**data_root, "time_duration": 2}, sample_n_frames=4, sample_size=(64, 96),
+        allow_change_tgt=True, tgt_fps_list=[16, 8], max_objects=3, seed=4,
+    )
+    s = ds[0]
+    assert s["pixel_values"].shape == (4, 64, 96, 3)
+    assert s["caption"] != ""
+
+
+def test_validation_prompt_generator():
+    prompts = UnrealTrajVideoDataset.create_validation_prompts(num=6, seed=1)
+    assert len(prompts) == 6
+    assert len(set(prompts)) > 3
+    assert all(isinstance(p, str) and p for p in prompts)
+    # deterministic per seed
+    assert prompts == UnrealTrajVideoDataset.create_validation_prompts(num=6, seed=1)
