@@ -80,20 +80,25 @@ def main():
         out, _ = jax.lax.scan(body, latents, timesteps)
         return out
 
-    # warmup/compile
+    # Timing methodology: the axon tunnel caches identical executions and
+    # its block_until_ready does not wait for device completion, so every
+    # timed run uses FRESH inputs and a scalar host fetch forces completion.
     t0 = time.time()
-    denoise(params, latents, ctx, pose, traj).block_until_ready()
+    out = denoise(params, latents, ctx, pose, traj)
+    _ = float(jnp.sum(out))
     compile_s = time.time() - t0
-    print(f"# compile+first run: {compile_s:.1f}s")
+    print(f"# compile+warm run: {compile_s:.1f}s")
 
-    # timed runs
     n_runs = 3
-    t0 = time.time()
-    for _ in range(n_runs):
-        latents = denoise(params, latents, ctx, pose, traj)
-    latents.block_until_ready()
-    elapsed = time.time() - t0
-    steps_per_s = n_runs * num_inference_steps / elapsed
+    times = []
+    for i in range(n_runs):
+        fresh = jax.random.normal(jax.random.PRNGKey(100 + i), latents.shape, jnp.float32)
+        _ = float(jnp.sum(fresh))  # materialize input before the clock
+        t0 = time.time()
+        out = denoise(params, fresh, ctx, pose, traj)
+        _ = float(jnp.sum(out))  # force completion
+        times.append(time.time() - t0)
+    steps_per_s = num_inference_steps / min(times)
 
     print(
         json.dumps(
