@@ -17,10 +17,17 @@ north-star target is >=2x that per chip.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the full-model scan takes ~6 min to compile
+# cold; cached runs start in seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_BASELINE_STEPS_PER_S = 2.0
 

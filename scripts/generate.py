@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Generation CLI: camera/object-conditioned video synthesis from checkpoints.
+
+Covers the reference's inference surface (its generation happens inside the
+training validation loops; this exposes it standalone):
+
+  python scripts/generate.py --config configs/cam.yaml \
+      --prompt "a girl is walking" \
+      --lora-ckpt lora.ckpt --cm-ckpt cmcm.ckpt [--omcm-ckpt omcm.ckpt] \
+      --camera-txt path/to/camera.txt --out out.gif
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--prompt", action="append", required=True)
+    p.add_argument("--negative-prompt", default=None)
+    p.add_argument("--lora-ckpt", default=None)
+    p.add_argument("--cm-ckpt", default=None, help="stage-2 CMC bundle")
+    p.add_argument("--omcm-ckpt", default=None, help="stage-3 OMC bundle")
+    p.add_argument("--camera-txt", default=None, help="camera label txt for the trajectory")
+    p.add_argument("--num-inference-steps", type=int, default=25)
+    p.add_argument("--guidance-scale", type=float, default=8.0)
+    p.add_argument("--video-length", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default="output/generated.gif")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend (tests)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synfmc_tpu.config import load_config
+    from synfmc_tpu.data.tokenizer import load_tokenizer
+    from synfmc_tpu.diffusion import DiffusionSchedule
+    from synfmc_tpu.geometry.plucker import plucker_embedding
+    from synfmc_tpu.pipelines import AnimationPipeline
+    from synfmc_tpu.training import checkpoint as ckpt
+    from synfmc_tpu.training.trainers import build_models, init_params, load_pretrained
+    from synfmc_tpu.utils.logger import setup_logger
+    from synfmc_tpu.utils.video import save_videos_grid
+
+    config = load_config(args.config)
+    for key, val in (("lora_ckpt", args.lora_ckpt), ("pretrained_cm_path", args.cm_ckpt)):
+        if val:
+            config[key] = val
+    logger = setup_logger(None, 0)
+
+    stage = "obj" if args.omcm_ckpt else "cam"
+    train_params = config.get_path("train_data.params", {}) or {}
+    sample_size = tuple(train_params.get("sample_size", (256, 384)))
+    dtype = jnp.bfloat16 if config.get("mixed_precision_training", True) else jnp.float32
+
+    models = build_models(config, stage, dtype=dtype)
+    params = init_params(models, config, stage, jax.random.PRNGKey(args.seed),
+                         sample_size, args.video_length)
+    params = load_pretrained(params, config, stage, logger)
+    if args.omcm_ckpt:
+        bundle = ckpt.torch_load_state_dict(args.omcm_ckpt)
+        params["adapter"] = ckpt.load_into_params(
+            params["adapter"], bundle["omcm_state_dict"], "adapter"
+        )
+
+    schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
+    pipe = AnimationPipeline(
+        unet=models["unet"], unet_params={"params": params["unet"]},
+        vae=models["vae"], vae_params={"params": params["vae"]},
+        text_encoder=models["text"], text_params={"params": params["text"]},
+        tokenizer=load_tokenizer(config.get("pretrained_model_path")),
+        schedule=schedule,
+        pose_encoder=models.get("pose_encoder"),
+        pose_encoder_params={"params": params["pose_encoder"]} if "pose_encoder" in params else None,
+        adapter=models.get("adapter"),
+        adapter_params={"params": params.get("adapter")} if "adapter" in params else None,
+    )
+
+    h, w = sample_size
+    f = args.video_length
+    plucker = None
+    if "pose_encoder" in models:
+        b = len(args.prompt)
+        if args.camera_txt:
+            from synfmc_tpu.evaluation.metrics import parse_camera_txt
+
+            intr, rts = parse_camera_txt(args.camera_txt)
+            c2w = np.tile(np.eye(4, dtype=np.float32), (len(rts), 1, 1))
+            c2w[:, :3, :] = rts
+            intr = jnp.asarray(np.tile(intr[None], (b, 1, 1)), jnp.float32)
+            c2w = jnp.asarray(np.tile(c2w[None], (b, 1, 1, 1)), jnp.float32)
+        else:
+            intr = jnp.broadcast_to(jnp.asarray([w, h, 0, 0], jnp.float32), (b, f, 4))
+            c2w = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, f, 4, 4))
+        plucker = plucker_embedding(intr, c2w, h, w)
+
+    video = pipe(
+        args.prompt, video_length=f, height=h, width=w,
+        num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
+        negative_prompts=args.negative_prompt, rng=jax.random.PRNGKey(args.seed),
+        plucker=plucker,
+    )
+    save_videos_grid(np.asarray(video), args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
