@@ -385,6 +385,12 @@ class UnrealTrajVideoDataset:
                 obj_masks[fi, oi] = self._resize_mask(m)
                 obj_info[fi, oi] = rel[oi]
 
+        flip = self.use_flip and self.rng.random() < 0.5
+        if flip:  # RandomHorizontalFlipWithPose parity (dataset.py:885-905)
+            pixels = pixels[:, :, ::-1].copy()
+            total_mask = total_mask[:, :, ::-1].copy()
+            obj_masks = obj_masks[:, :, :, ::-1].copy()
+
         camera_rt = relative_cams_to_first(camera_info, self.cam_translation_rescale_factor)
         # first frame -> absolute rotation, zero translation (dataset.py:5496-5507)
         first = np.zeros((3, 4), np.float32)
@@ -401,6 +407,7 @@ class UnrealTrajVideoDataset:
             obj_union_mask=total_mask.astype(np.float32),
             obj_info=obj_info,
             obj_masks=obj_masks,
+            flip_flag=np.asarray(flip),
             frame_list=frame_list,
             tgt_fps=tgt_fps,
         )
@@ -476,6 +483,7 @@ class UnrealTrajVideoDataset:
             "obj_union_mask": stack("obj_union_mask"),
             "obj_info": stack("obj_info"),
             "obj_masks": stack("obj_masks"),
+            "flip_flag": stack("flip_flag"),
             "frame_lists": [s["frame_list"] for s in samples],
         }
 

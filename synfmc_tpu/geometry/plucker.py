@@ -21,13 +21,22 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
-def plucker_embedding(intrinsics: jax.Array, c2w: jax.Array, height: int, width: int) -> jax.Array:
+def plucker_embedding(
+    intrinsics: jax.Array,
+    c2w: jax.Array,
+    height: int,
+    width: int,
+    flip_flag: jax.Array | None = None,
+) -> jax.Array:
     """Compute Plücker embeddings for a batch of camera trajectories.
 
     Args:
       intrinsics: (B, F, 4) — fx, fy, cx, cy per frame.
       c2w: (B, F, 4, 4) camera-to-world matrices.
       height, width: output raster size (static).
+      flip_flag: optional (B,) bool — horizontally-flipped samples use
+        mirrored pixel x coordinates (reference ray_condition flip path,
+        dataset.py:944-954).
 
     Returns:
       (B, F, height, width, 6) Plücker coordinates, matching reference
@@ -38,10 +47,16 @@ def plucker_embedding(intrinsics: jax.Array, c2w: jax.Array, height: int, width:
     # Pixel centers (+0.5 as in dataset.py:940-941).
     i = (jnp.arange(width, dtype=dtype) + 0.5)[None, :]  # (1, W) — x coord
     j = (jnp.arange(height, dtype=dtype) + 0.5)[:, None]  # (H, 1) — y coord
+    if flip_flag is not None:
+        # linspace(W-1, 0) + 0.5 == W - 0.5 - arange(W)
+        i_flipped = (width - 0.5 - jnp.arange(width, dtype=dtype))[None, :]
+        i = jnp.where(flip_flag[:, None, None, None], i_flipped[None, None], i[None, None])
+    else:
+        i = i[None, None]
 
     fx, fy, cx, cy = [intrinsics[..., k][..., None, None] for k in range(4)]  # (B,F,1,1)
     shape = (b, f, height, width)
-    xs = jnp.broadcast_to((i[None, None] - cx) / fx, shape)
+    xs = jnp.broadcast_to((i - cx) / fx, shape)
     ys = jnp.broadcast_to((j[None, None] - cy) / fy, shape)
     zs = jnp.ones_like(xs)
     directions = jnp.stack([xs, ys, zs], axis=-1)  # (B,F,H,W,3)

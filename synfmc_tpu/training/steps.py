@@ -161,7 +161,8 @@ def make_cam_train_step(
         noisy = schedule.add_noise(latents, noise, t)
         context = text_encoder.apply(frozen["text"], ids)
         plucker = plucker_embedding(
-            batch["intrinsics"], rt_to_c2w(rt), cfg.sample_height, cfg.sample_width
+            batch["intrinsics"], rt_to_c2w(rt), cfg.sample_height, cfg.sample_width,
+            flip_flag=batch.get("flip_flag"),
         )
 
         def loss_fn(trainable):
@@ -217,7 +218,8 @@ def make_obj_train_step(
         noisy = schedule.add_noise(latents, noise, t)
         context = text_encoder.apply(frozen["text"], ids)
         plucker = plucker_embedding(
-            batch["intrinsics"], rt_to_c2w(rt), cfg.sample_height, cfg.sample_width
+            batch["intrinsics"], rt_to_c2w(rt), cfg.sample_height, cfg.sample_width,
+            flip_flag=batch.get("flip_flag"),
         )
 
         # OMC raster (util.py:147-213) — pose*mask, concat mask, CFG dropout,

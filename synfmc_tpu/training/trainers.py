@@ -309,6 +309,8 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
             batch["camera_rt"] = raw["camera_rt"]
             batch["intrinsics"] = raw["intrinsics"]
             batch["obj_union_mask"] = raw["obj_union_mask"]
+            if "flip_flag" in raw:
+                batch["flip_flag"] = raw["flip_flag"]
         if stage == "obj":
             batch["obj_info"] = raw["obj_info"]
             batch["obj_masks"] = raw["obj_masks"]

@@ -157,3 +157,29 @@ def test_validation_prompt_generator():
     assert all(isinstance(p, str) and p for p in prompts)
     # deterministic per seed
     assert prompts == UnrealTrajVideoDataset.create_validation_prompts(num=6, seed=1)
+
+
+def test_use_flip(data_root):
+    ds_f = UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96),
+                                  use_flip=True, max_objects=3, seed=11)
+    ds_n = UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96),
+                                  use_flip=False, max_objects=3, seed=11)
+    s_f, s_n = ds_f[0], ds_n[0]
+    assert "flip_flag" in s_f and s_n["flip_flag"] == False  # noqa: E712
+    if s_f["flip_flag"]:
+        np.testing.assert_allclose(s_f["pixel_values"], s_n["pixel_values"][:, :, ::-1], atol=1e-6)
+
+
+def test_plucker_flip_flag(rng):
+    import jax.numpy as jnp
+    from synfmc_tpu.geometry import plucker_embedding
+
+    intr = jnp.asarray(np.tile([96.0, 64, 0, 0], (2, 2, 1)), jnp.float32)
+    c2w = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (2, 2, 4, 4))
+    p0 = plucker_embedding(intr, c2w, 8, 12)
+    pf = plucker_embedding(intr, c2w, 8, 12, flip_flag=jnp.asarray([False, True]))
+    np.testing.assert_allclose(np.asarray(pf[0]), np.asarray(p0[0]), atol=1e-6)
+    assert np.abs(np.asarray(pf[1]) - np.asarray(p0[1])).max() > 1e-4
+    # flipped pixel grid == reversed column order of the unflipped grid
+    # (i_flip[w] = W-0.5-w = i[W-1-w]), so the embedding mirrors along W
+    np.testing.assert_allclose(np.asarray(pf[1]), np.asarray(p0[1][:, :, ::-1]), atol=1e-5)
