@@ -48,12 +48,20 @@ def group_norm(
             return fused_group_norm(x, scale, bias, num_groups, eps=eps, act=act)
 
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(x.shape)
-    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # One data pass for the statistics: sum and sum-of-squares reduce together
+    # (E[x^2]-E[x]^2), then one normalize pass with the per-channel affine
+    # folded into a single scale/shift — 2 HBM passes instead of the naive 4.
+    xg = x.reshape(n, -1, num_groups, c // num_groups)
+    xf = xg.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=(1, 3))  # (n, g)
+    m2 = jnp.mean(xf * xf, axis=(1, 3))
+    var = m2 - m1 * m1
+    rstd = jax.lax.rsqrt(var + eps)  # (n, g)
+    # fold affine: out = x * gamma' + beta'
+    gamma = scale.astype(jnp.float32).reshape(num_groups, -1)[None] * rstd[..., None]  # (n,g,cg)
+    beta = bias.astype(jnp.float32).reshape(num_groups, -1)[None] - m1[..., None] * gamma
+    out = xf * gamma[:, None] + beta[:, None]
+    out = out.reshape(x.shape)
     if act == "silu":
         out = jax.nn.silu(out)
     elif act == "relu":
