@@ -58,10 +58,15 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
+    # 'auto' policy: fused kernel for long SELF-attention only.  Cross
+    # attention (kv=77 text tokens) gains nothing from fusion but pays the
+    # kernel's layout prep — profiling showed routing it to XLA is ~3% of the
+    # whole UNet forward.
     want_flash = use_flash is True or (
         use_flash == "auto"
         and mask is None
         and q.shape[1] >= _FLASH_MIN_SEQ
+        and q.shape[1] == k.shape[1]
         and jax.default_backend() == "tpu"
     )
     if want_flash:
