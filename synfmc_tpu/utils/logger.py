@@ -63,3 +63,15 @@ def format_time(seconds: float) -> str:
     if minutes > 0:
         return f"{minutes}m{secs}s"
     return f"{seconds:.1f}s"
+
+
+def instantiate_from_config(config: dict):
+    """Instantiate `{"target": "module.path.Class", "params": {...}}` configs
+    (reference fmc/utils/util.py:16-25) — used by the train_data.target key."""
+    import importlib
+
+    if "target" not in config:
+        raise KeyError("expected a 'target' key")
+    module_name, _, class_name = str(config["target"]).rpartition(".")
+    cls = getattr(importlib.import_module(module_name), class_name)
+    return cls(**dict(config.get("params") or {}))

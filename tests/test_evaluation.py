@@ -43,3 +43,15 @@ def test_camera_txt_roundtrip(tmp_path, rng):
     errs = camera_errors_from_txt(p1, p2)
     assert errs["rot_err_deg_mean"] < 1e-4
     assert errs["trans_err_mean"] < 1e-9
+
+
+def test_instantiate_from_config():
+    from collections import OrderedDict
+
+    from synfmc_tpu.utils.logger import instantiate_from_config
+
+    obj = instantiate_from_config({"target": "collections.OrderedDict", "params": {}})
+    assert isinstance(obj, OrderedDict)
+
+    tok = instantiate_from_config({"target": "synfmc_tpu.data.tokenizer.HashTokenizer"})
+    assert tok("hi").shape == (1, 77)
