@@ -25,13 +25,23 @@ _FLASH_MIN_SEQ = 256
 
 
 def _xla_attention(q, k, v, scale, mask=None):
+    # Heads merged into the batch axis before the matmuls: profiling shows
+    # XLA lowers this ~26% faster than the 4D "bqhd,bkhd->bhqk" einsum on the
+    # temporal hot shape (3072,16,8,40) and identically elsewhere (PERF.md).
     # fp32 softmax accumulation regardless of compute dtype.
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    logits = jnp.einsum("bqd,bkd->bqk", qt, kt, preferred_element_type=jnp.float32)
     logits = logits * jnp.asarray(scale, dtype=logits.dtype)
     if mask is not None:
-        logits = logits + mask.astype(logits.dtype)
+        m = jnp.broadcast_to(mask.astype(logits.dtype), (b, h, sq, sk)).reshape(b * h, sq, sk)
+        logits = logits + m
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), vt)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
 def dot_product_attention(
