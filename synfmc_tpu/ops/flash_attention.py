@@ -222,6 +222,81 @@ def _bwd(q3, k3, v3, do3, scale, block_q, true_sk, interpret=False):
     )(q3, k3, v3, do3)
 
 
+def _bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       dk_acc, dv_acc, *, scale: float, heads: int, d: int):
+    """Packed-channel backward: per-head lane slices, dK/dV accumulated in
+    VMEM scratch across sequential q-block grid steps."""
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl].astype(jnp.float32)
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        do = do_ref[0, :, sl].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_acc[:, sl] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv_acc[:, sl] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_packed(q2, k2, v2, do2, scale, heads, block_q, interpret=False):
+    b, sq, c = q2.shape
+    sk = k2.shape[1]
+    return pl.pallas_call(
+        functools.partial(_bwd_packed_kernel, scale=scale, heads=heads, d=c // heads),
+        grid=(b, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, c), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+            jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+            jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sk, c), jnp.float32),
+            pltpu.VMEM((sk, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q2, k2, v2, do2)
+
+
 # ---------------------------------------------------------------------------
 # public API with padding + custom VJP
 # ---------------------------------------------------------------------------
@@ -276,6 +351,16 @@ def _flash_bwd(scale, interpret, res, g):
     q, k, v = res
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    if sq % 8 == 0 and sk % 8 == 0:
+        dq2, dk2, dv2 = _bwd_packed(
+            q.reshape(b, sq, h * d), k.reshape(b, sk, h * d), v.reshape(b, sk, h * d),
+            g.reshape(b, sq, h * d), scale, h, _pick_block_q(sq), interpret=interpret,
+        )
+        return (
+            dq2.reshape(b, sq, h, d).astype(q.dtype),
+            dk2.reshape(b, sk, h, d).astype(k.dtype),
+            dv2.reshape(b, sk, h, d).astype(v.dtype),
+        )
     q3, k3, v3, g3 = _prep(q), _prep(k), _prep(v), _prep(g)
     block_q = _pick_block_q(q3.shape[1])
     dq3, dk3, dv3 = _bwd(q3, k3, v3, g3, scale, block_q, sk, interpret=interpret)

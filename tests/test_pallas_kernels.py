@@ -89,3 +89,29 @@ def test_fused_group_norm_grads(rng):
     g2 = jax.grad(f_xla, argnums=(0, 1, 2))(x, scale, bias)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
+
+
+def test_flash_backward_packed_path(rng):
+    """seq%8==0 routes through the packed-channel backward kernel."""
+    b, s, h, d = 1, 128, 4, 40
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    scale = d**-0.5
+
+    g_flash = jax.grad(lambda *a: jnp.sum(flash_attention(*a, scale, True) * cot), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda *a: jnp.sum(_xla_attention(*a, scale) * cot), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
+
+def test_flash_backward_padded_fallback(rng):
+    """odd seq (not %8) falls back to the transpose+pad backward."""
+    b, s, h, d = 1, 60, 2, 40
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    scale = d**-0.5
+    g_flash = jax.grad(lambda x: jnp.sum(flash_attention(x, x, x, scale, True) * cot))(q)
+    g_xla = jax.grad(lambda x: jnp.sum(_xla_attention(x, x, x, scale) * cot))(q)
+    np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_xla), atol=5e-4, rtol=1e-3)
