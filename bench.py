@@ -18,6 +18,7 @@ north-star target is >=2x that per chip.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -68,7 +69,7 @@ def main():
     )
     params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(f"# params: {n_params/1e6:.1f}M (init {time.time()-t_init:.1f}s)")
+    print(f"# params: {n_params/1e6:.1f}M (init {time.time()-t_init:.1f}s)", file=sys.stderr)
 
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
 
@@ -94,7 +95,7 @@ def main():
     out = denoise(params, latents, ctx, pose, traj)
     _ = float(jnp.sum(out))
     compile_s = time.time() - t0
-    print(f"# compile+warm run: {compile_s:.1f}s")
+    print(f"# compile+warm run: {compile_s:.1f}s", file=sys.stderr)
 
     n_runs = 3
     times = []
