@@ -35,13 +35,11 @@ import numpy as np
 from PIL import Image
 
 from synfmc_tpu.data.captions import (
-    action_phrase,
-    assemble_caption,
+    assemble_video_caption,
     camera_pose_descriptions,
     csv_param_to_dict,
     get_background_description,
     get_seen_objects,
-    object_sentence,
 )
 from synfmc_tpu.data.masks import sphere_gaussian_mask
 from synfmc_tpu.geometry import euler_to_matrix_v2
@@ -273,6 +271,7 @@ class UnrealTrajVideoDataset:
                 obj_infos.append(m)
             per_frame.append(
                 dict(
+                    seen_ids=seen_ids,
                     seen_idxs=seen_idxs,
                     total_mask=total_mask,
                     obj_masks=obj_masks,
@@ -289,23 +288,30 @@ class UnrealTrajVideoDataset:
         # key frames for the temporal caption (dataset.py:4901)
         f_total = len(frame_idx_list)
         chosen = [i for i in range(0, f_total, max(f_total // 3, 1))][:4]
-        sentences_per_key, idxs_per_key = [], []
+        keyframes = []
         for ci in chosen:
             fr = per_frame[ci]
-            cam_types = camera_pose_descriptions(annotation, fr["seen_idxs"], frame_idx_list[ci])
-            sentences = []
-            for desc, act_desc, act_type, cam_type in zip(
-                fr["obj_descs"], fr["act_descs"], fr["act_types"], cam_types
-            ):
-                action = action_phrase(scene_type, act_type, act_desc, self.rng)
-                plain, with_cam = object_sentence(desc, action, cam_type, self.rng)
-                sentences.append(plain if self.rng.random() < 0.5 else with_cam)
-            sentences_per_key.append(sentences)
-            idxs_per_key.append(fr["seen_idxs"])
-        caption = assemble_caption(
-            background, sentences_per_key, idxs_per_key, self.rng, is_video=not self.is_image
+            keyframes.append(
+                dict(
+                    seen_idxs=fr["seen_idxs"],
+                    obj_descs=fr["obj_descs"],
+                    act_descs=fr["act_descs"],
+                    act_types=fr["act_types"],
+                    cam_types=camera_pose_descriptions(
+                        annotation, fr["seen_idxs"], frame_idx_list[ci]
+                    ),
+                )
+            )
+        # single-object tracking is decided over ALL frames (dataset.py:4906-4916)
+        is_track_single = all(len(fr["seen_idxs"]) == 1 for fr in per_frame) and (
+            len({fr["seen_idxs"][0] for fr in per_frame}) == 1
         )
-        return caption, background, per_frame
+        caption, background_caption = assemble_video_caption(
+            scene_type, background, keyframes,
+            is_multi="multi" in data_type, rng=self.rng,
+            is_track_single=is_track_single,
+        )
+        return caption, background_caption, per_frame
 
     # ---- assembly ----
 
@@ -372,17 +378,20 @@ class UnrealTrajVideoDataset:
         o = self.max_objects
         total_mask = np.stack([self._resize_mask(fr["total_mask"]) for fr in per_frame])[..., None]
         obj_masks = np.zeros((f, o, h, w), np.float32)
+        raw_obj_masks = np.zeros((f, o, h, w), np.float32)
         obj_info = np.zeros((f, o, 12), np.float32)
         for fi, fr in enumerate(per_frame):
             rel = relative_obj_to_cam(
                 camera_info[fi], fr["obj_infos"], self.obj_translation_rescale_factor
             ) if len(fr["obj_infos"]) else np.zeros((0, 12), np.float32)
             for oi, mask in enumerate(fr["obj_masks"][:o]):
+                raw_obj_masks[fi, oi] = self._resize_mask(mask[..., 0].astype(np.float32))
                 if self.use_sphere_mask:
-                    m = sphere_gaussian_mask(mask)
+                    # reference order: nearest-resize to sample_size FIRST,
+                    # then circle+Gaussian at target res (dataset.py:5350-62)
+                    obj_masks[fi, oi] = sphere_gaussian_mask(raw_obj_masks[fi, oi] > 0.5)
                 else:
-                    m = mask[..., 0].astype(np.float32)
-                obj_masks[fi, oi] = self._resize_mask(m)
+                    obj_masks[fi, oi] = raw_obj_masks[fi, oi]
                 obj_info[fi, oi] = rel[oi]
 
         flip = self.use_flip and self.rng.random() < 0.5
@@ -390,6 +399,7 @@ class UnrealTrajVideoDataset:
             pixels = pixels[:, :, ::-1].copy()
             total_mask = total_mask[:, :, ::-1].copy()
             obj_masks = obj_masks[:, :, :, ::-1].copy()
+            raw_obj_masks = raw_obj_masks[:, :, :, ::-1].copy()
 
         camera_rt = relative_cams_to_first(camera_info, self.cam_translation_rescale_factor)
         # first frame -> absolute rotation, zero translation (dataset.py:5496-5507)
@@ -397,6 +407,7 @@ class UnrealTrajVideoDataset:
         first[:3, :3] = camera_info[0][:3, :3]
         camera_rt[0] = first.reshape(-1)
 
+        data_type = self.data_type_list[idx]
         return dict(
             video_path=video_path,
             pixel_values=pixels.astype(np.float32),
@@ -410,6 +421,16 @@ class UnrealTrajVideoDataset:
             flip_flag=np.asarray(flip),
             frame_list=frame_list,
             tgt_fps=tgt_fps,
+            # validation extras (reference create_validation_prompts tuple,
+            # dataset.py:3525-3533 / _v2:4066-4070); collate_fn ignores them
+            raw_obj_masks=raw_obj_masks,
+            camera_info=camera_info.astype(np.float32),
+            img_paths=img_paths,
+            seen_ids_per_frame=[fr["seen_ids"] for fr in per_frame],
+            scene_type=csv_param_to_dict(
+                self.seq_meta_data_map[data_type][self.seq_id_list[idx]]["camera"]["Comment"]
+            )["scene_type"],
+            static_type="static" if "static" in data_type else "dynamic",
         )
 
     def __len__(self) -> int:
@@ -424,47 +445,278 @@ class UnrealTrajVideoDataset:
             idx = self.rng.randint(0, self.length - 1)
         raise RuntimeError("could not sample a captioned clip in 1000 tries")
 
-    # ---- validation prompt generators (dataset.py:1781, 3000, 3538, 4073) ----
+    # ---- trajectory-bearing validation samples ----
 
-    SCENE_OBJECTS = {
-        "ground": ["a red robot", "a girl", "a knight", "a wolf"],
-        "sky": ["a dragon", "a drone", "an eagle"],
-        "underwater": ["a shark", "a turtle", "a submarine"],
+    def create_validation_sample(self, points_diff=None, max_tries: int = 100) -> dict:
+        """Draw a REAL captioned clip with full trajectory ground truth.
+
+        Rebuild of the reference validation generators: the base tuple of
+        ``create_validation_prompts`` (dataset.py:3000-3533) — (prompt,
+        intrinsics, abs cams, rel cams, obj infos, rel objs, obj masks,
+        frame idxs, img paths, circle masks, seen ids) — plus the ``_v2``
+        extras (scene_type/static_type, 3538) and the ``_with_traj_change``
+        circle-center relocation along ``points_diff`` (4073, 4490-4523).
+
+        Returns a dict:
+          prompt, background_caption, pixel_values (F,H,W,3 in [-1,1]),
+          intrinsics (F,4), camera_info (F,4,4 absolute),
+          camera_rt (F,12 relative-to-first, first frame rotation-only),
+          obj_info (F,O,12 camera-relative), obj_masks (F,O,H,W raw binary),
+          circle_masks (F,O,H,W Gaussian spheres), frame_list, img_paths,
+          seen_ids_per_frame, scene_type, static_type.
+
+        ``points_diff``: optional (F, 2) per-frame (dx, dy) pixel offsets;
+        every circle mask is re-centered at (first object center +
+        points_diff[frame]), clamped to the image — the object-dragging
+        demo input of the reference's traj-change generator.
+        """
+        from synfmc_tpu.data.masks import min_enclosing_circle
+
+        sample = None
+        for _ in range(max_tries):
+            idx = self.rng.randint(0, self.length - 1)
+            sample = self.get_batch(idx)
+            if sample is not None:
+                break
+        if sample is None:
+            raise RuntimeError(f"no valid validation clip found in {max_tries} tries")
+
+        raw = sample["raw_obj_masks"]  # (F,O,H,W) binary
+        f, o, h, w = raw.shape
+        circle = np.zeros_like(raw)
+        first_center = None  # tracked once across the clip (ref 4494-4515)
+        for fi in range(f):
+            for oi in range(o):
+                m = raw[fi, oi]
+                if m.max() <= 0:
+                    continue
+                override = None
+                if points_diff is not None:
+                    ys, xs = np.nonzero(m)
+                    (cx, cy), _ = min_enclosing_circle(np.column_stack((xs, ys)))
+                    if first_center is None:
+                        first_center = (cx, cy)
+                    override = (
+                        float(np.clip(first_center[0] + points_diff[fi][0], 0, w)),
+                        float(np.clip(first_center[1] + points_diff[fi][1], 0, h)),
+                    )
+                circle[fi, oi] = sphere_gaussian_mask(
+                    m[..., None].astype(bool), center_override=override
+                )
+        return dict(
+            prompt=sample["caption"],
+            background_caption=sample["background_caption"],
+            pixel_values=sample["pixel_values"],
+            intrinsics=sample["intrinsics"],
+            camera_info=sample["camera_info"],
+            camera_rt=sample["camera_rt"],
+            obj_info=sample["obj_info"],
+            obj_masks=raw,
+            circle_masks=circle,
+            frame_list=sample["frame_list"],
+            img_paths=sample["img_paths"],
+            seen_ids_per_frame=sample["seen_ids_per_frame"],
+            scene_type=sample["scene_type"],
+            static_type=sample["static_type"],
+        )
+
+    def create_validation_samples(self, num: int, points_diff=None) -> list[dict]:
+        return [self.create_validation_sample(points_diff=points_diff) for _ in range(num)]
+
+    # ---- validation prompt vocabularies + generators ----
+    # Scale and structure mirror the reference's SCENE_TYPE_DES_MAP (1581)
+    # and SCENE_TYPE_OBJ_DES_MAP (1674): per-scene background phrases and
+    # per-scene, action-capability-keyed ("idle;move;jump") object nouns.
+    # The noun/phrase selections here are our own.
+
+    SCENE_TYPE_DES_MAP = {
+        "sky": [
+            "sky", "clear blue sky", "scattered clouds", "amber sunset",
+            "night sky full of stars", "early sunrise", "dim twilight",
+            "towering clouds", "grey overcast", "storm front",
+            "first light of dawn", "glowing dusk", "colorful evening sky",
+        ],
+        "ground": [
+            "ground", "grass", "open meadow", "sunlit meadow", "woodland path",
+            "forest", "beach", "pebble beach", "oasis", "desert", "snowy plain",
+            "snow", "city park", "street", "downtown street", "road",
+            "rural road", "garden", "rose garden", "schoolyard", "stadium",
+            "fairground",
+        ],
+        "near_ground": [
+            "ground", "grass", "open meadow", "sunlit meadow", "woodland path",
+            "forest", "beach", "pebble beach", "oasis", "desert", "snowy plain",
+            "snow", "city park", "street", "downtown street", "road",
+            "rural road", "garden", "rose garden", "schoolyard", "stadium",
+            "fairground",
+        ],
+        "overwater": [
+            "overwater", "open water", "calm water surface", "sea surface",
+            "lake surface", "ocean swell", "harbor", "sea", "ocean",
+        ],
+        "underwater": [
+            "underwater", "beneath the surface", "coral garden", "sea floor",
+            "seaweed meadow", "sunken cave", "abyssal trench", "open deep sea",
+            "sandy bottom", "kelp thicket",
+        ],
     }
-    SCENE_BACKGROUNDS = {
-        "ground": ["a grassy field", "a city street", "a desert"],
-        "sky": ["a cloudy sky", "a sunset sky"],
-        "underwater": ["a coral reef", "the deep ocean"],
+
+    SCENE_TYPE_OBJ_DES_MAP = {
+        "sky": {
+            "fly": [
+                "rocket", "jetliner", "glider", "fighter jet", "missile",
+                "aircraft", "drone", "bat", "bird", "seagull", "hawk", "crow",
+            ],
+            "idle": ["balloon", "blimp", "hot air balloon", "cloud"],
+            "fly;idle": [
+                "superhero", "flying saucer", "helicopter", "gyrocopter",
+                "dragon", "wyvern", "griffin", "winged horse", "fairy queen",
+            ],
+        },
+        "near_ground": {
+            "near_ground_fly;idle": [
+                "quadcopter", "balloon", "moth", "housefly", "wasp", "bumblebee",
+                "butterfly", "wisp", "pixie", "sparrow", "hummingbird",
+            ],
+        },
+        "ground": {
+            "idle": [
+                "trophy", "hourglass", "lantern", "typewriter", "telescope",
+                "camera", "telephone", "sandwich", "torch", "tin can", "book",
+                "journal", "compass", "teacup", "wristwatch", "mug", "egg",
+                "toy", "cap", "alarm clock", "plate", "bottle", "nightstand",
+                "basket", "stool", "toaster", "birdcage", "antenna", "microwave",
+                "cage", "well", "treasure chest", "barrel", "trash bin",
+                "microscope", "dresser", "helmet", "bomb", "lamp", "campfire",
+                "boulder", "laptop", "vase", "record player", "fruit bowl",
+                "suitcase", "ball", "crate", "cube", "sphere", "cylinder",
+                "ceiling fan", "mirror", "television", "phone booth", "cauldron",
+                "bookcase", "billiard table", "fireplace", "lawn mower",
+                "robotic arm", "cabinet", "vending machine", "billboard",
+                "bench", "table", "chair", "desk", "printer", "gate", "door",
+                "refrigerator", "washing machine", "engine", "clock",
+                "catapult", "street lamp", "satellite dish", "bed", "bell",
+                "turret", "power station", "wind turbine", "lighthouse",
+                "house", "fortress", "gazebo", "pyramid", "tower", "windmill",
+                "water wheel", "ferris wheel", "carousel", "statue",
+                "sunflower", "potted plant", "pumpkin", "flower", "tuft of grass",
+                "bonfire", "corn stalk", "potato", "mushroom", "tomato plant",
+                "tree", "bamboo",
+            ],
+            "idle;move;jump": [
+                "dinosaur", "elk", "wolf", "deer", "horse", "cheetah",
+                "gazelle", "lion", "tiger", "hamster", "mouse", "squirrel",
+                "raccoon", "zebra", "sheep", "frog", "kangaroo", "gorilla",
+                "bulldog", "elephant", "chameleon", "bear", "panda", "dog",
+                "badger", "cat", "fox", "monkey", "rabbit", "hare", "rooster",
+                "chimp", "character", "human", "person", "man", "woman", "boy",
+                "girl", "werewolf", "goblin", "monster", "robot", "ogre",
+                "skeleton", "alien", "zombie", "giant", "santa claus", "elder",
+                "grandmother", "toddler", "boxer", "maid", "guard", "wrestler",
+                "magician", "scientist", "pirate", "clown", "firefighter",
+                "cook", "pharaoh", "cowboy", "troll", "villager", "actor",
+                "commando", "chef", "captain", "hero", "mage", "ninja",
+                "goalkeeper", "viking", "astronaut", "worker", "nurse",
+                "farmer", "doctor", "warrior", "butcher", "knight", "witch",
+                "wizard", "pilot", "racer", "athlete", "sprinter", "police officer",
+                "driver", "soldier", "king", "princess", "superhero",
+            ],
+            "idle;move": [
+                "snail", "earthworm", "spider", "ant", "scorpion", "beetle",
+                "sloth", "lizard", "giraffe", "hippo", "rhino", "cow",
+                "donkey", "llama", "pig", "mammoth", "truck", "tank", "car",
+                "van", "bus", "tractor",
+            ],
+        },
+        "overwater": {
+            "idle": ["water lily", "buoy"],
+            "move;idle": [
+                "ship", "boat", "sailboat", "dolphin", "seal", "whale", "duck",
+                "swan", "crab", "lobster", "turtle", "raft",
+            ],
+        },
+        "underwater": {
+            "swim;idle": [
+                "submarine", "dolphin", "anglerfish", "fish", "jellyfish",
+                "shark", "penguin", "seal", "whale", "crab", "lobster",
+                "octopus", "turtle", "manta ray", "seahorse",
+            ],
+        },
     }
+
+    @classmethod
+    def _sample_validation_scene(cls, rng: random.Random, min_obj_num: int,
+                                 max_obj_num: int):
+        """Common scene/object/action/camera sampling for the prompt
+        generators (reference _gen_prompt bodies, dataset.py:1783-1820)."""
+        from synfmc_tpu.data.captions import action_phrase
+
+        scene_type = rng.choice(list(cls.SCENE_TYPE_DES_MAP))
+        background = rng.choice(cls.SCENE_TYPE_DES_MAP[scene_type])
+        obj_descs, act_descs, act_types, cam_types = [], [], [], []
+        for _ in range(rng.randint(min_obj_num, max_obj_num)):
+            cap_key = rng.choice(list(cls.SCENE_TYPE_OBJ_DES_MAP[scene_type]))
+            action_type = rng.choice(cap_key.split(";"))
+            act_types.append(action_type)
+            act_descs.append(action_phrase(scene_type, action_type, "", rng))
+            obj_descs.append(rng.choice(cls.SCENE_TYPE_OBJ_DES_MAP[scene_type][cap_key]))
+            while True:  # random non-empty view triple (dataset.py:1807-1818)
+                parts = [rng.choice(["top", ""]), rng.choice(["left", "right", ""]),
+                         rng.choice(["back", "front", ""])]
+                if any(parts):
+                    break
+            cam_types.append("_".join(parts))
+        return scene_type, background, obj_descs, act_descs, act_types, cam_types
 
     @classmethod
     def create_validation_prompts(cls, num: int = 4, use_synthetic_des: bool = True,
                                   max_obj_num: int = 3, seed: int = 0) -> list[str]:
-        """Template-driven validation prompts without dataset access
-        (reference create_validation_prompts family)."""
+        """Text-only validation prompts WITH camera-view phrases
+        (reference UnrealTrajLoraDataset.create_validation_prompts, 1781)."""
         from synfmc_tpu.data.captions import (
-            ACTION_WORDS,
             DESCRIPTOR_TEMPLATE,
-            assemble_caption,
-            object_sentence,
+            assemble_scene_description,
         )
 
         rng = random.Random(seed)
         prompts = []
         for _ in range(num):
-            scene = rng.choice(list(cls.SCENE_OBJECTS))
-            n_obj = rng.randint(1, max_obj_num)
-            sentences = []
-            for _ in range(n_obj):
-                obj = rng.choice(cls.SCENE_OBJECTS[scene])
-                actions = [w for (s, _), ws in ACTION_WORDS.items() if s == scene for w in ws]
-                plain, _ = object_sentence(obj, rng.choice(actions), "", rng)
-                sentences.append(plain)
-            background = rng.choice(cls.SCENE_BACKGROUNDS[scene])
-            prompt = assemble_caption(
-                background, [sentences], [list(range(n_obj))], rng,
-                use_descriptor_prob=0.9 if use_synthetic_des else 0.0,
+            scene_type, background, obj_descs, act_descs, act_types, cam_types = (
+                cls._sample_validation_scene(rng, 1, max_obj_num)
             )
+            prompt = assemble_scene_description(
+                scene_type, background, obj_descs, act_descs, act_types,
+                cam_types, rng, use_cam_sentence=True,
+            )
+            if use_synthetic_des:
+                prompt = rng.choice(DESCRIPTOR_TEMPLATE).format(sentence=prompt)
+            prompts.append(prompt)
+        return prompts
+
+    @classmethod
+    def create_validation_prompts_without_cam(
+        cls, num: int = 4, use_synthetic_des: bool = True,
+        min_obj_num: int = 1, max_obj_num: int = 3, seed: int = 0,
+    ) -> list[str]:
+        """Text-only validation prompts without camera phrases
+        (reference create_validation_prompts_without_cam, 1838)."""
+        from synfmc_tpu.data.captions import (
+            DESCRIPTOR_TEMPLATE,
+            assemble_scene_description,
+        )
+
+        rng = random.Random(seed)
+        prompts = []
+        for _ in range(num):
+            scene_type, background, obj_descs, act_descs, act_types, cam_types = (
+                cls._sample_validation_scene(rng, min_obj_num, max_obj_num)
+            )
+            prompt = assemble_scene_description(
+                scene_type, background, obj_descs, act_descs, act_types,
+                cam_types, rng, use_cam_sentence=False,
+            )
+            if use_synthetic_des:
+                prompt = rng.choice(DESCRIPTOR_TEMPLATE).format(sentence=prompt)
             prompts.append(prompt)
         return prompts
 

@@ -37,9 +37,33 @@ def assemble_mask_list(mask_list: list[np.ndarray]) -> np.ndarray:
     return total
 
 
+def _row_extremes(points: np.ndarray) -> np.ndarray:
+    """Reduce dense pixel coordinates to per-row min/max-x candidates.
+
+    The convex hull (hence the min enclosing circle) of a pixel set is
+    fully determined by each row's leftmost/rightmost pixel — an O(N)
+    pass that shrinks hull input from ~10^4 mask pixels to ~2*H points.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts) <= 4:
+        return pts
+    ys = pts[:, 1]
+    order = np.argsort(ys, kind="stable")
+    pts = pts[order]
+    ys = pts[:, 1]
+    starts = np.flatnonzero(np.r_[True, ys[1:] != ys[:-1]])
+    ends = np.r_[starts[1:], len(pts)]
+    out = []
+    for s, e in zip(starts, ends):
+        row = pts[s:e]
+        out.append(row[row[:, 0].argmin()])
+        out.append(row[row[:, 0].argmax()])
+    return np.unique(np.stack(out), axis=0)
+
+
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Monotone-chain convex hull; points (N, 2) float."""
-    pts = np.unique(points, axis=0)
+    pts = np.unique(_row_extremes(points), axis=0)
     if len(pts) <= 2:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
@@ -101,18 +125,25 @@ def min_enclosing_circle(points: np.ndarray) -> tuple[tuple[float, float], float
     return (float(c[0]), float(c[1])), float(r)
 
 
-def sphere_gaussian_mask(mask: np.ndarray) -> np.ndarray:
+def sphere_gaussian_mask(mask: np.ndarray, center_override=None) -> np.ndarray:
     """Gaussian sphere mask from a binary object mask (dataset.py:5350-5404).
 
     minEnclosingCircle of the mask pixels -> filled int-circle x normalized
     Gaussian(sigma = radius/2) of distance from center.  Empty masks return
     the input's first channel unchanged.
+
+    ``center_override`` (x, y) relocates the circle center while keeping the
+    mask-derived radius — the create_validation_prompts_with_traj_change
+    mechanism (reference dataset.py:4490-4523) that drags an object's motion
+    target along a user-supplied 2D path.
     """
     m2d = mask[..., 0] if mask.ndim == 3 else mask
     y, x = np.nonzero(m2d)
     if len(x) == 0:
         return m2d.astype(np.float32)
     (cx, cy), radius = min_enclosing_circle(np.column_stack((x, y)))
+    if center_override is not None:
+        cx, cy = float(center_override[0]), float(center_override[1])
     yy, xx = np.ogrid[: m2d.shape[0], : m2d.shape[1]]
     dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
     # cv2.circle with int center/radius: replicate the int truncation
