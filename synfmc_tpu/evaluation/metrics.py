@@ -71,3 +71,29 @@ def camera_errors_from_txt(pred_path: str, gt_path: str) -> dict:
         "trans_err_mean": float(trans.mean()),
         "trans_err": trans,
     }
+
+
+def parse_camera_label_txt(path: str) -> np.ndarray:
+    """Parse a reference-layout camera label file
+    (utils/video.py save_camera_label_txt; reference train_cam_ctrl.py:50-74):
+    header line, then per frame 7 placeholder fields + 12 camera floats.
+    Returns RT (F, 3, 4)."""
+    with open(path) as f:
+        lines = f.read().strip().splitlines()[1:]
+    rts = [np.asarray([float(v) for v in ln.split()[7:19]]).reshape(3, 4) for ln in lines if ln.strip()]
+    return np.stack(rts)
+
+
+def camera_errors_from_label_txt(pred_path: str, gt_path: str) -> dict:
+    """RotErr/TransErr between computed and GT reference-layout label files
+    (the dumps written by validation, train_cam_ctrl.py:779)."""
+    rt_pred = parse_camera_label_txt(pred_path)
+    rt_gt = parse_camera_label_txt(gt_path)
+    rot = rot_err_deg(rt_pred[:, :, :3], rt_gt[:, :, :3])
+    trans = trans_err(rt_pred[:, :, 3], rt_gt[:, :, 3])
+    return {
+        "rot_err_deg_mean": float(rot.mean()),
+        "rot_err_deg": rot,
+        "trans_err_mean": float(trans.mean()),
+        "trans_err": trans,
+    }

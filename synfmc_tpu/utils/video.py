@@ -65,3 +65,17 @@ def save_camera_info_txt(path: str, intrinsics: np.ndarray, cam_rts: np.ndarray)
         for i, (k, rt) in enumerate(zip(np.asarray(intrinsics), cam_rts)):
             vals = [i] + list(k[:4]) + [0, 0] + list(rt[:12])
             f.write(" ".join(str(float(v)) if j else str(int(v)) for j, v in enumerate(vals)) + "\n")
+
+
+def save_camera_label_txt(path: str, header: str, cams: np.ndarray) -> None:
+    """Reference-layout camera label file (train_cam_ctrl.py:50-74):
+    a header line, then per frame seven ``-1`` placeholder fields followed
+    by the row-major 3x4 camera matrix.  Written for both the computed
+    (``labels``) and ground-truth (``gt labels``) trajectories so RotErr/
+    TransErr can be evaluated downstream."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cams = np.asarray(cams, dtype=np.float64).reshape(len(cams), 12)
+    with open(path, "w") as f:
+        f.write(header + " \n")
+        for cam in cams:
+            f.write("-1 -1 -1 -1 -1 -1 -1 " + " ".join(str(v) for v in cam) + "\n")

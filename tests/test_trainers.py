@@ -39,8 +39,20 @@ def _config(stage, fixture_kwargs, tmp_path):
         params["sample_n_frames"] = 4
         params["max_objects"] = 2
     cfg["train_data"]["params"].update(params)
-    # placeholders in the shipped configs are skipped by load_pretrained
+    # placeholders in the shipped configs are skipped by load_pretrained;
+    # stage 3 additionally demands a real CMC ckpt unless explicitly waived
+    if stage == "obj":
+        cfg["allow_untrained_cm"] = True
     return cfg
+
+
+def test_stage3_requires_cmc_checkpoint(fixture_kwargs, tmp_path):
+    # Reference hard-asserts a trained CMC ckpt before stage 3
+    # (train_cam_obj_ctrl.py:280); the placeholder path must NOT slip through.
+    cfg = _config("obj", fixture_kwargs, tmp_path)
+    cfg["allow_untrained_cm"] = False
+    with pytest.raises(FileNotFoundError, match="CMC checkpoint"):
+        train("obj", cfg, max_steps_override=1)
 
 
 @pytest.mark.parametrize("stage", ["lora", "cam", "obj"])
