@@ -1,18 +1,39 @@
-"""Host-side data loading: threaded prefetch + per-process sharding.
+"""Host-side data loading: multiprocess workers + per-process sharding.
 
 Replaces the reference's torch DataLoader(num_workers=8) + DistributedSampler
 (train_cam_ctrl.py:334-366): each JAX process owns a round-robin shard of the
-dataset (keyed on jax.process_index()), worker threads run the numpy/PIL
-__getitem__ pipeline, and batches are prefetched ahead of device compute.
+dataset (keyed on jax.process_index()); worker *processes* run the numpy/PIL
+``__getitem__`` pipeline (it is pure-Python and PIL-heavy, so threads would
+serialize on the GIL); a bounded result queue applies backpressure and the
+parent reorders batches so iteration order is deterministic.
+
+Workers never touch JAX: the dataset path is numpy-only, so the forked
+children never initialize a device backend.  Each worker reseeds the
+dataset's RNG from (seed, epoch, worker_id) — the analog of torch's
+per-worker base_seed + worker_id.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
-import threading
+import random
 from typing import Callable, Iterator, Optional
 
 import numpy as np
+
+
+def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int) -> None:
+    # per-worker RNG stream (torch DataLoader worker-seeding analog)
+    if hasattr(dataset, "rng") and isinstance(dataset.rng, random.Random):
+        dataset.rng = random.Random(seed)
+    while True:
+        job = job_q.get()
+        if job is None:
+            return
+        bi, batch_idx = job
+        samples = [dataset[int(i)] for i in batch_idx]
+        out_q.put((bi, collate_fn(samples)))  # blocks when full: backpressure
 
 
 class ShardedLoader:
@@ -36,8 +57,8 @@ class ShardedLoader:
         self.collate_fn = collate_fn
         self.shuffle = shuffle
         self.seed = seed
-        self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        self.num_workers = max(0, num_workers)
+        self.prefetch = max(1, prefetch)
         self.process_index = jax.process_index() if process_index is None else process_index
         self.process_count = jax.process_count() if process_count is None else process_count
         self.drop_last = drop_last
@@ -55,44 +76,61 @@ class ShardedLoader:
             rng.shuffle(idx)
         return idx[self.process_index :: self.process_count]
 
+    def _epoch_batches(self) -> list[np.ndarray]:
+        indices = self._epoch_indices()
+        step = self.batch_size
+        stop = len(indices) - (step - 1 if self.drop_last else 0)
+        return [indices[i : i + step] for i in range(0, stop, step)]
+
     def __len__(self) -> int:
-        n = len(self._epoch_indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return len(self._epoch_batches())
 
     def __iter__(self) -> Iterator[dict]:
-        indices = self._epoch_indices()
-        batches = [
-            indices[i : i + self.batch_size]
-            for i in range(0, len(indices) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size)
+        batches = self._epoch_batches()
+        if self.num_workers == 0:  # synchronous path (debug / tiny tests)
+            for batch_idx in batches:
+                yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+            return
+
+        # fork: the dataset ships to workers by COW memory, not pickling.
+        # Children only run numpy/PIL code, so the parent's JAX backend
+        # state is never exercised in them.
+        ctx = mp.get_context("fork")
+        job_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=self.prefetch + self.num_workers)
+        for job in enumerate(batches):
+            job_q.put(job)
+        n_workers = min(self.num_workers, max(1, len(batches)))
+        for _ in range(n_workers):
+            job_q.put(None)
+        workers = [
+            ctx.Process(
+                target=_worker_loop,
+                args=(self.dataset, self.collate_fn, job_q, out_q,
+                      self.seed * 100003 + self.epoch * 1009 + w),
+                daemon=True,
+            )
+            for w in range(n_workers)
         ]
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        job_q: queue.Queue = queue.Queue()
-        results: dict[int, dict] = {}
-        lock = threading.Lock()
+        for w in workers:
+            w.start()
 
-        for bi, batch_idx in enumerate(batches):
-            job_q.put((bi, batch_idx))
-        stop = object()
-
-        def worker():
-            while True:
-                try:
-                    bi, batch_idx = job_q.get_nowait()
-                except queue.Empty:
-                    return
-                samples = [self.dataset[int(i)] for i in batch_idx]
-                with lock:
-                    results[bi] = self.collate_fn(samples)
-
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
-        for t in threads:
-            t.start()
-
-        for bi in range(len(batches)):
-            while True:
-                with lock:
-                    if bi in results:
-                        batch = results.pop(bi)
-                        break
-                threading.Event().wait(0.002)
-            yield batch
+        reorder: dict[int, dict] = {}
+        try:
+            for want in range(len(batches)):
+                while want not in reorder:
+                    try:
+                        bi, batch = out_q.get(timeout=600)
+                    except queue.Empty:
+                        dead = [w.exitcode for w in workers if not w.is_alive()]
+                        raise RuntimeError(
+                            f"data workers stalled (exitcodes={dead})"
+                        ) from None
+                    reorder[bi] = batch
+                yield reorder.pop(want)
+        finally:
+            for w in workers:
+                if w.is_alive():
+                    w.terminate()
+            for w in workers:
+                w.join(timeout=5)
