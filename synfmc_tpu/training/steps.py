@@ -29,7 +29,7 @@ from synfmc_tpu.diffusion import DiffusionSchedule
 from synfmc_tpu.geometry.plucker import plucker_embedding
 from synfmc_tpu.training.losses import appearance_debias_loss, masked_diffusion_loss, mse
 from synfmc_tpu.training.params import merge_params
-from synfmc_tpu.utils.traj_features import rasterize_traj_features
+from synfmc_tpu.utils.traj_features import build_adapter_inputs
 
 
 @flax.struct.dataclass
@@ -223,18 +223,11 @@ def make_obj_train_step(
         )
 
         # OMC raster (util.py:147-213) — pose*mask, concat mask, CFG dropout,
-        # re-mask.
-        traj_r, mask_r = rasterize_traj_features(batch["obj_info"], batch["obj_masks"])
-        features = jnp.concatenate([traj_r, mask_r], axis=-1)
-        if cfg.cfg_random_null_om_ratio > 0:
-            drop_om = (
-                jax.random.uniform(rngs[6], (features.shape[0],)) < cfg.cfg_random_null_om_ratio
-            )
-            features = features * (1.0 - drop_om[:, None, None, None, None].astype(features.dtype))
-        features = features * mask_r
-        b, f = features.shape[:2]
-        flat_feats = features.reshape(b * f, *features.shape[2:])
-        flat_mask = mask_r.reshape(b * f, *mask_r.shape[2:])
+        # re-mask — shared with the inference path (traj_features.py).
+        b, f = batch["obj_info"].shape[:2]
+        flat_feats, flat_mask = build_adapter_inputs(
+            batch["obj_info"], batch["obj_masks"], rngs[6], cfg.cfg_random_null_om_ratio
+        )
 
         def loss_fn(trainable):
             unet_params = {"params": merge_params(trainable.get("unet", {}), frozen["unet"])}
