@@ -43,6 +43,39 @@ def verify_kernels_on_device():
     """
     from synfmc_tpu.ops.attention import dot_product_attention
     from synfmc_tpu.ops.flash_attention import flash_attention, flash_supported
+    from synfmc_tpu.ops.temporal_attention import _xla_ref, temporal_attention
+
+    # packed temporal kernel at the three motion-module shapes
+    for label, n, f, h, d in [
+        ("temporal_l0", 3072, 16, 8, 40),
+        ("temporal_l1", 768, 16, 8, 80),
+        ("temporal_l2", 192, 16, 8, 160),
+    ]:
+        c = h * d
+        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(hash(label) % 2**31), 4)
+        q2 = jax.random.normal(kq, (n, f, c), jnp.bfloat16)
+        k2 = jax.random.normal(kk, (n, f, c), jnp.bfloat16)
+        v2 = jax.random.normal(kv, (n, f, c), jnp.bfloat16)
+        cot = jax.random.normal(kg, (n, f, c), jnp.bfloat16)
+        scale = d**-0.5
+        out_p = jax.jit(lambda q, k, v: temporal_attention(q, k, v, scale, h))(q2, k2, v2)
+        out_x = jax.jit(lambda q, k, v: _xla_ref(q, k, v, scale, h))(q2, k2, v2)
+        fwd_err = float(jnp.abs(out_p.astype(jnp.float32) - out_x.astype(jnp.float32)).max())
+        gp = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+            temporal_attention(q, k, v, scale, h) * cot), argnums=(0, 1, 2)))(q2, k2, v2)
+        gx = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+            _xla_ref(q, k, v, scale, h).astype(jnp.float32) * cot), argnums=(0, 1, 2)))(q2, k2, v2)
+        bwd_err = max(
+            float(jnp.abs(a.astype(jnp.float32) - b_.astype(jnp.float32)).max())
+            for a, b_ in zip(gp, gx)
+        )
+        assert fwd_err < 0.05, f"{label}: temporal fwd max err {fwd_err}"
+        assert bwd_err < 1.0, f"{label}: temporal bwd max err {bwd_err}"
+        print(
+            f"# kernel-verify {label} ({n}x{f}x{h}x{d}) on {jax.default_backend()}: "
+            f"fwd_max_err={fwd_err:.4f} bwd_max_err={bwd_err:.4f} OK",
+            file=sys.stderr,
+        )
 
     shapes = [
         # (label, B, Sq, H, D): spatial attention at 256x384 latents

@@ -13,6 +13,7 @@ axis stays leading and shardable.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -84,4 +85,27 @@ def dot_product_attention(
 
         if flash_supported(q, k, v):
             return flash_attention(q, k, v, scale=scale)
+
+    # Short self-attention (the motion module's 16-frame temporal attention):
+    # fused packed-layout kernel reading the Dense output directly — kills the
+    # (B,S,H,D)->(B*H,S,D) head-split relayout (13% of the UNet forward) and
+    # the batched attention math itself measures ~2x the XLA path at the
+    # (3072,16,8,40) hot shape (PERF.md).  SYNFMC_TEMPORAL_KERNEL=0 disables.
+    if (
+        os.environ.get("SYNFMC_TEMPORAL_KERNEL", "1") == "1"
+        and use_flash in ("auto", True)
+        and mask is None
+        and q.shape[1] == k.shape[1]
+        and q.shape[1] <= 64
+        and jax.default_backend() == "tpu"
+    ):
+        from synfmc_tpu.ops.temporal_attention import temporal_attention, temporal_supported
+
+        b, s, h, d = q.shape
+        q2 = q.reshape(b, s, h * d)
+        if temporal_supported(q2, h):
+            out2 = temporal_attention(
+                q2, k.reshape(b, s, h * d), v.reshape(b, s, h * d), scale, h
+            )
+            return out2.reshape(b, s, h, d)
     return _xla_attention(q, k, v, scale, mask=mask)

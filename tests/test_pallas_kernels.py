@@ -115,3 +115,66 @@ def test_flash_backward_padded_fallback(rng):
     g_flash = jax.grad(lambda x: jnp.sum(flash_attention(x, x, x, scale, True) * cot))(q)
     g_xla = jax.grad(lambda x: jnp.sum(_xla_attention(x, x, x, scale) * cot))(q)
     np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_xla), atol=5e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# packed temporal attention
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n,f,h,d",
+    [
+        (64, 16, 8, 40),    # motion-module level-0 shape (N tiled)
+        (32, 16, 8, 80),
+        (16, 8, 4, 160),
+        (24, 12, 6, 16),    # odd frame count / head count
+    ],
+)
+def test_temporal_attention_matches_xla(rng, n, f, h, d):
+    from synfmc_tpu.ops.temporal_attention import _fwd_call, _xla_ref
+
+    c = h * d
+    q = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    scale = d**-0.5
+    got = np.asarray(_fwd_call(q, k, v, scale, h, interpret=True))
+    want = np.asarray(_xla_ref(q, k, v, scale, h))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_temporal_attention_backward_matches_xla(rng):
+    from synfmc_tpu.ops.temporal_attention import _xla_ref, temporal_attention
+
+    n, f, h, d = 32, 16, 8, 40
+    c = h * d
+    q = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, f, c)).astype(np.float32))
+    scale = d**-0.5
+
+    got = jax.grad(
+        lambda q, k, v: jnp.sum(temporal_attention(q, k, v, scale, h, True) * g),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    want = jax.grad(
+        lambda q, k, v: jnp.sum(_xla_ref(q, k, v, scale, h) * g),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_temporal_route_in_dispatch(rng, monkeypatch):
+    # dot_product_attention must fall back to XLA off-TPU and stay exact
+    from synfmc_tpu.ops.attention import dot_product_attention
+
+    b, s, h, d = 16, 16, 4, 24
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    out = dot_product_attention(q, k, v)
+    want = np.asarray(_xla_attention(q, k, v, d**-0.5))
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5, rtol=1e-4)
