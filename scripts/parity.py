@@ -154,10 +154,16 @@ def main():
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_cpu" if args.cpu else ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.make_fake:
         make_fake(args)

