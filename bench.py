@@ -154,7 +154,12 @@ def main():
         ),
         jax.random.PRNGKey(1),
     )
-    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # bf16 weights: inference deployment precision on TPU, apples-to-apples
+    # with the reference's fp16 autocast serving (train_cam_ctrl.py:586).
+    # Kernel numerics at this precision are asserted by verify_kernels_on_device.
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, dtype if s.dtype == jnp.float32 else s.dtype), shapes
+    )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"# params: {n_params/1e6:.1f}M (init {time.time()-t_init:.1f}s)", file=sys.stderr)
 

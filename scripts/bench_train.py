@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Full-scale stage-2 train-step timing on the real chip.
+
+Builds the exact trainer configuration (configs/cam.yaml: bf16 compute,
+fp32 params/optimizer, remat, masked+inverted loss, camera CFG dropout,
+Plücker on-device) with zero-value params (throughput is weight-value
+independent) and times the single jitted train step with fresh pixel
+inputs per run + a scalar loss fetch, per the PERF.md methodology.
+
+Exercises the packed-channel Pallas attention forward AND backward
+(ops/flash_attention.py, ops/temporal_attention.py) end-to-end.
+
+  python scripts/bench_train.py [--steps 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--frames", type=int, default=16)
+    args = p.parse_args()
+
+    from synfmc_tpu.config import load_config
+    from synfmc_tpu.diffusion import DiffusionSchedule
+    from synfmc_tpu.training.optim import make_optimizer
+    from synfmc_tpu.training.params import partition_params, stage2_cmc_unet_trainable
+    from synfmc_tpu.training.steps import StepConfig, TrainState, make_cam_train_step
+    from synfmc_tpu.training.trainers import build_models
+
+    config = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "cam.yaml"))
+    h, w = 256, 384
+    b, f = args.batch, args.frames
+    models = build_models(config, "cam", dtype=jnp.bfloat16)
+    schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
+    tx = make_optimizer(1e-4, max_grad_norm=1.0, lr_scheduler="constant",
+                        lr_warmup_steps=0, max_train_steps=100)
+    step_cfg = StepConfig(
+        apply_masked_loss=True, invert_loss_mask=True,
+        mask_loss_weight=float(config.get("mask_loss_weight", 1.0)),
+        sd_loss_weight=float(config.get("sd_loss_weight", 0.6)),
+        sample_height=h, sample_width=w, remat=True,
+    )
+
+    hl, wl = h // 8, w // 8
+    chs = models["unet"].block_out_channels
+    xdim = models["unet"].cross_attention_dim
+    pose_feats = [jnp.zeros((1, f, hl // 2**i, wl // 2**i, c)) for i, c in enumerate(chs)]
+
+    t0 = time.time()
+    shapes = {
+        "unet": jax.eval_shape(
+            lambda r: models["unet"].init(
+                r, jnp.zeros((1, f, hl, wl, 4)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, xdim)), pose_features=pose_feats),
+            jax.random.PRNGKey(0)),
+        "pose_encoder": jax.eval_shape(
+            lambda r: models["pose_encoder"].init(r, jnp.zeros((1, f, h, w, 6))),
+            jax.random.PRNGKey(1)),
+        "vae": jax.eval_shape(
+            lambda r: models["vae"].init(r, jnp.zeros((1, h, w, 3)), jax.random.PRNGKey(9)),
+            jax.random.PRNGKey(2)),
+        "text": jax.eval_shape(
+            lambda r: models["text"].init(r, jnp.zeros((1, 77), jnp.int32)),
+            jax.random.PRNGKey(3)),
+    }
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = {k: v["params"] for k, v in params.items()}
+    print(f"# params built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t_unet, f_unet = partition_params(params["unet"], stage2_cmc_unet_trainable)
+    trainable = {"unet": t_unet, "pose_encoder": params["pose_encoder"]}
+    frozen = {"unet": f_unet, "vae": {"params": params["vae"]}, "text": {"params": params["text"]}}
+    n_train = sum(x.size for x in jax.tree_util.tree_leaves(trainable))
+    print(f"# trainable: {n_train/1e6:.1f}M", file=sys.stderr)
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=tx.init(trainable))
+    step_fn = jax.jit(
+        make_cam_train_step(models["unet"], models["pose_encoder"], models["vae"],
+                            models["text"], schedule, tx, step_cfg),
+        donate_argnums=(0,),
+    )
+
+    def make_batch(i):
+        k = jax.random.PRNGKey(1000 + i)
+        return {
+            "pixel_values": jax.random.normal(k, (b, f, h, w, 3), jnp.float32) * 0.5,
+            "input_ids": jnp.ones((b, 77), jnp.int32),
+            "background_ids": jnp.ones((b, 77), jnp.int32),
+            "null_ids": jnp.ones((77,), jnp.int32),
+            "camera_rt": jnp.tile(jnp.asarray([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], jnp.float32), (b, f, 1)),
+            "intrinsics": jnp.tile(jnp.asarray([24.0, 36.0, 0.0, 0.0], jnp.float32), (b, f, 1)),
+            "obj_union_mask": jnp.ones((b, f, h, w, 1), jnp.float32) * 0.5,
+        }
+
+    t0 = time.time()
+    state, metrics = step_fn(state, frozen, make_batch(-1), jax.random.PRNGKey(7))
+    _ = float(metrics["loss"])
+    print(f"# compile+warm step: {time.time()-t0:.1f}s loss={float(metrics['loss']):.4f}",
+          file=sys.stderr)
+
+    times = []
+    for i in range(args.steps):
+        batch = make_batch(i)
+        _ = float(jnp.sum(batch["pixel_values"][0, 0, 0, 0]))  # materialize
+        t0 = time.time()
+        state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(100 + i))
+        _ = float(metrics["loss"])  # force completion
+        times.append(time.time() - t0)
+    print(json.dumps({
+        "metric": "stage2_cam_train_step_seconds_b1_16f_256x384",
+        "value": round(min(times), 3),
+        "unit": "s/step",
+        "all_times": [round(t, 3) for t in times],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,11 +58,18 @@ def flash_supported(q, k, v) -> bool:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, sk: int):
     # block refs carry a leading singleton (bh) dim: q_ref (1, BQ, Dp) etc.
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    # Perf-critical structure (PERF.md):
+    #  - matmuls take native-dtype (bf16) inputs with fp32 MXU accumulation;
+    #    casting to fp32 first would halve MXU throughput for no extra
+    #    softmax precision (softmax itself stays fp32);
+    #  - the attention scale multiplies q (BQ x D) instead of the logits
+    #    (BQ x Sk), and the softmax denominator divides the output (BQ x D)
+    #    instead of P (BQ x Sk) — two full-size VPU passes removed.
+    q = q_ref[0] * scale
+    k = k_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, Sk_p)
+    )  # (BQ, Sk_p) fp32
     # mask padded kv rows
     if logits.shape[1] != sk:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -71,7 +78,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, sk: int):
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / denom).astype(o_ref.dtype)
@@ -102,20 +109,23 @@ def _fwd_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int, 
     # Loops heads with lane slices, so no XLA-side transpose or D-padding is
     # needed (profiled 4.70 vs 5.29 ms/call for prep+padded kernel at the
     # level-0 shape; PERF.md).
+    # scale-on-q + divide-on-output: see _fwd_kernel note (18% measured win
+    # at the (32,1536,320) hot shape, PERF.md).
     for h in range(heads):
-        qh = q_ref[0, :, h * d : (h + 1) * d].astype(jnp.float32)
-        kh = k_ref[0, :, h * d : (h + 1) * d].astype(jnp.float32)
-        vh = v_ref[0, :, h * d : (h + 1) * d].astype(jnp.float32)
+        qh = q_ref[0, :, h * d : (h + 1) * d] * scale
+        kh = k_ref[0, :, h * d : (h + 1) * d]
+        vh = v_ref[0, :, h * d : (h + 1) * d]
         logits = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         m = jnp.max(logits, axis=1, keepdims=True)
         p = jnp.exp(logits - m)
         den = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            p / den, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
+        o_ref[0, :, h * d : (h + 1) * d] = (o / den).astype(o_ref.dtype)
 
 
 def _fwd_packed(q2, k2, v2, scale, heads, block_q, interpret=False):
@@ -147,31 +157,40 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_
     i = pl.program_id(1)
     nq = pl.num_programs(1)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # Native-dtype (bf16) matmul inputs, fp32 MXU accumulation; softmax and
+    # the dS combination stay fp32.  Like the forward, all full-(BQ,Sk)-size
+    # scalar passes are folded into (BQ,D)-size ones:
+    #   q' = q*scale             -> logits carry the scale, dK = dS^T q'
+    #   dO_n = dO/den            -> dP_n = dO_n V^T, dV = pu^T dO_n
+    #   dS = pu * (dP_n - rowsum(dO_n*O))   with pu the UNnormalized exp
+    #   dQ = (dS K) * scale      (scale applied on the small output)
+    q = q_ref[0] * scale  # q' (BQ, Dp)
+    k = k_ref[0]
+    v = v_ref[0]
 
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32)
     if logits.shape[1] != sk:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < sk, logits, -1e30)
     m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    p = p / denom  # softmax probs (BQ, Sk_p)
+    pu = jnp.exp(logits - m)  # unnormalized probs (BQ, Sk_p) fp32
+    den = jnp.sum(pu, axis=1, keepdims=True)
+    puc = pu.astype(v.dtype)
 
-    dp_ = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+    don = do_ref[0].astype(jnp.float32) / den  # dO_n (BQ, Dp) — small
+    donc = don.astype(v.dtype)
+    dp_ = jax.lax.dot_general(donc, v, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (BQ, Sk_p)
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=1, keepdims=True)  # rowsum(dO * O)
-    ds = p * (dp_ - delta) * scale  # (BQ, Sk_p)
+    ou = jax.lax.dot_general(puc, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # O*den
+    delta = jnp.sum(don * ou, axis=1, keepdims=True) / den  # rowsum(dO_n * O)
+    ds = pu * (dp_ - delta)  # dlogits' (BQ, Sk_p) fp32
+    dsc = ds.astype(k.dtype)
 
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dsc, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(dq_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -179,10 +198,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     dk_acc[:] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Sk_p, Dp)
+        dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Sk_p, Dp); q here is q' so the scale is included
     dv_acc[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        puc, donc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     @pl.when(i == nq - 1)
@@ -234,30 +253,34 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
+    # same normalized-gradient folding as _bwd_kernel (see note there)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0, :, sl].astype(jnp.float32)
-        k = k_ref[0, :, sl].astype(jnp.float32)
-        v = v_ref[0, :, sl].astype(jnp.float32)
-        do = do_ref[0, :, sl].astype(jnp.float32)
+        q = q_ref[0, :, sl] * scale  # q'
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        delta = jnp.sum(do * o, axis=1, keepdims=True)
-        ds = p * (dp - delta) * scale
-        dq_ref[0, :, sl] = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dq_ref.dtype)
+        pu = jnp.exp(logits - m)  # unnormalized, fp32
+        den = jnp.sum(pu, axis=1, keepdims=True)
+        puc = pu.astype(v.dtype)
+        don = do_ref[0, :, sl].astype(jnp.float32) / den
+        donc = don.astype(v.dtype)
+        dp = jax.lax.dot_general(donc, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ou = jax.lax.dot_general(puc, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.sum(don * ou, axis=1, keepdims=True) / den
+        ds = pu * (dp - delta)  # fp32
+        dsc = ds.astype(k.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            dsc, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale).astype(dq_ref.dtype)
         dk_acc[:, sl] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dv_acc[:, sl] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            puc, donc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     @pl.when(i == nq - 1)
