@@ -119,6 +119,13 @@ def verify_kernels_on_device():
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deepcache", type=int, default=0, metavar="N",
+                    help="time the pipeline denoise_loop with deepcache_interval=N "
+                         "(opt-in accelerator; 0 = headline inline loop)")
+    cli = ap.parse_args()
     if os.environ.get("BENCH_SKIP_VERIFY", "0") != "1":
         verify_kernels_on_device()
     from synfmc_tpu.diffusion import DiffusionSchedule
@@ -165,20 +172,41 @@ def main():
 
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
 
-    @jax.jit
-    def denoise(params, latents, ctx, pose, traj):
-        def body(lat, t):
-            lat_in = jnp.concatenate([lat, lat], axis=0).astype(dtype)
-            eps = unet.apply(
-                params, lat_in, jnp.full((2 * b,), t), ctx,
-                pose_features=pose, traj_features=[tr * (t >= 700) for tr in traj],
-            )
-            uncond, cond = jnp.split(eps.astype(jnp.float32), 2, axis=0)
-            eps_cfg = uncond + 8.0 * (cond - uncond)
-            return schedule.ddim_step(eps_cfg, t, lat, num_inference_steps), None
+    if cli.deepcache:
+        # Opt-in path: time the ACTUAL pipeline denoise_loop (pipelines/
+        # animation.py) with DeepCache.  Pose/traj passed at batch B; the
+        # loop does the CFG duplication + uncond-zeroing itself.
+        from synfmc_tpu.pipelines.animation import denoise_loop
 
-        out, _ = jax.lax.scan(body, latents, timesteps)
-        return out
+        pose_b = [p[:b] for p in pose]
+        traj_b = [p[:b] for p in traj]
+
+        def denoise(params, latents, ctx, pose_unused, traj_unused):
+            return denoise_loop(
+                unet, params, schedule, latents, ctx,
+                pose_features=pose_b, traj_features=traj_b,
+                num_inference_steps=num_inference_steps,
+                deepcache_interval=cli.deepcache,
+            )
+
+        metric = f"cfg_denoise_steps_per_sec_per_chip_16f_256x384_deepcache{cli.deepcache}"
+    else:
+        metric = "cfg_denoise_steps_per_sec_per_chip_16f_256x384"
+
+        @jax.jit
+        def denoise(params, latents, ctx, pose, traj):
+            def body(lat, t):
+                lat_in = jnp.concatenate([lat, lat], axis=0).astype(dtype)
+                eps = unet.apply(
+                    params, lat_in, jnp.full((2 * b,), t), ctx,
+                    pose_features=pose, traj_features=[tr * (t >= 700) for tr in traj],
+                )
+                uncond, cond = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+                eps_cfg = uncond + 8.0 * (cond - uncond)
+                return schedule.ddim_step(eps_cfg, t, lat, num_inference_steps), None
+
+            out, _ = jax.lax.scan(body, latents, timesteps)
+            return out
 
     # Timing methodology: the axon tunnel caches identical executions and
     # its block_until_ready does not wait for device completion, so every
@@ -203,7 +231,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "cfg_denoise_steps_per_sec_per_chip_16f_256x384",
+                "metric": metric,
                 "value": round(steps_per_s, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_s / A100_BASELINE_STEPS_PER_S, 3),

@@ -32,6 +32,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="output/generated.gif")
     p.add_argument("--cpu", action="store_true", help="force CPU backend (tests)")
+    p.add_argument("--deepcache", type=int, default=1, metavar="N",
+                   help="DeepCache interval: deep UNet levels refresh every Nth "
+                        "denoise step (1 = exact, >1 trades fidelity for speed)")
     args = p.parse_args()
 
     import jax
@@ -107,7 +110,7 @@ def main():
         args.prompt, video_length=f, height=h, width=w,
         num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
         negative_prompts=args.negative_prompt, rng=jax.random.PRNGKey(args.seed),
-        plucker=plucker,
+        plucker=plucker, deepcache_interval=args.deepcache,
     )
     save_videos_grid(np.asarray(video), args.out)
     print(f"wrote {args.out}")

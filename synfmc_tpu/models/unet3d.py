@@ -83,6 +83,8 @@ class UNet3D(nn.Module):
         encoder_hidden_states: jax.Array,
         pose_features: Optional[Sequence[jax.Array]] = None,
         traj_features: Optional[Sequence[jax.Array]] = None,
+        deep_cache: Optional[jax.Array] = None,
+        return_deep: bool = False,
     ) -> jax.Array:
         """Args:
           sample: (B, F, H, W, in_channels) noisy latents (F=1 for images).
@@ -91,8 +93,15 @@ class UNet3D(nn.Module):
           pose_features: optional list of 4 (B, F, H/2^i, W/2^i, C_i) camera
             features (camera_cond must be True).
           traj_features: optional list of 4 OMC feature videos, same shapes.
+          deep_cache: DeepCache shallow step — a cached up_blocks_2 output
+            (B, F, H, W, reversed(chs)[2]); when given, only conv_in →
+            down_blocks_0 → up_blocks_3 → conv_out run (the deep levels are
+            skipped entirely), reusing the cache as up_blocks_3's input.
+          return_deep: also return the up_blocks_2 output so the caller can
+            cache it: returns (eps, deep).
 
-        Returns: (B, F, H, W, out_channels) epsilon prediction.
+        Returns: (B, F, H, W, out_channels) epsilon prediction
+          (or (eps, deep) when return_deep).
         """
         chs = list(self.block_out_channels)
         n_blocks = len(chs)
@@ -125,6 +134,49 @@ class UNet3D(nn.Module):
             pose_cond_blocks=pose_blocks,
             pose_scale=self.pose_scale,
         )
+
+        if deep_cache is not None:
+            # ---- DeepCache shallow step ----
+            # Only the shallowest level runs; deep_cache stands in for the
+            # output of up_blocks_2.  Param names match the full path, so the
+            # same param tree serves both traces (selected by lax.cond in
+            # pipelines/animation.py:denoise_loop).
+            assert n_blocks == 4, "deep_cache assumes the 4-level SD1.5 topology"
+            _, outs = CrossAttnDownBlock3D(
+                out_channels=chs[0],
+                num_layers=self.layers_per_block,
+                attn_heads=self.attn_heads,
+                cross_attention_dim=self.cross_attention_dim,
+                add_downsample=True,
+                lora_rank=lora_rank_for(chs[0], self.lora_rank),
+                lora_scale=self.lora_scale,
+                dtype=self.dtype,
+                name="down_blocks_0",
+                **motion_kw,
+            )(x, temb, encoder_hidden_states, pose_feature=pose_features[0],
+              traj_feature=traj_features[0], run_downsample=False)
+            skips = [x] + outs
+            x = CrossAttnUpBlock3D(
+                out_channels=chs[0],
+                num_layers=self.layers_per_block + 1,
+                attn_heads=self.attn_heads,
+                cross_attention_dim=self.cross_attention_dim,
+                add_upsample=False,
+                lora_rank=lora_rank_for(chs[0], self.lora_rank),
+                lora_scale=self.lora_scale,
+                dtype=self.dtype,
+                name="up_blocks_3",
+                **motion_kw,
+            )(
+                deep_cache.astype(self.dtype), skips, temb, encoder_hidden_states,
+                pose_feature=pose_features[0] if self.decoder_add_posecond else None,
+            )
+            assert not skips
+            h = fold(x)
+            h = GroupNorm(self.norm_num_groups, eps=self.norm_eps, act="silu", dtype=self.dtype, name="conv_norm_out")(h)
+            h = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv_out")(h)
+            eps = unfold(h, f)
+            return (eps, deep_cache) if return_deep else eps
 
         # ---- down ----
         skips = [x]
@@ -172,6 +224,7 @@ class UNet3D(nn.Module):
         )(x, temb, encoder_hidden_states, pose_feature=pose_features[-1])
 
         # ---- up ----
+        deep = None
         for i in range(n_blocks):
             ch = list(reversed(chs))[i]
             is_final = i == n_blocks - 1
@@ -198,13 +251,16 @@ class UNet3D(nn.Module):
                     name=f"up_blocks_{i}",
                     **motion_kw,
                 )(x, skips, temb, encoder_hidden_states, pose_feature=pose_feat)
+            if i == n_blocks - 2:
+                deep = x  # up_blocks_2 output: the DeepCache cache point
         assert not skips, f"{len(skips)} unconsumed skip connections"
 
         # ---- out ---- (frame-wise GN -> SiLU -> conv, unet.py:1288-1293)
         h = fold(x)
         h = GroupNorm(self.norm_num_groups, eps=self.norm_eps, act="silu", dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv_out")(h)
-        return unfold(h, f)
+        eps = unfold(h, f)
+        return (eps, deep) if return_deep else eps
 
 
 def unet_config_from_yaml(unet_additional_kwargs: dict | None, lora_rank: int = 0, lora_scale: float = 1.0,

@@ -72,7 +72,8 @@ class CrossAttnDownBlock3D(nn.Module, _MotionMixin):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, pose_feature=None, traj_feature=None):
+    def __call__(self, x, temb, context, pose_feature=None, traj_feature=None,
+                 run_downsample=True):
         b, f = x.shape[:2]
         temb_rep = jnp.repeat(temb, f, axis=0)
         ctx_rep = jnp.repeat(context, f, axis=0)
@@ -98,7 +99,10 @@ class CrossAttnDownBlock3D(nn.Module, _MotionMixin):
             # block output AND the last skip state, before downsampling.
             x = x + traj_feature
             outputs[-1] = x
-        if self.add_downsample:
+        # run_downsample=False is the DeepCache shallow path (unet3d.py): the
+        # downsampled state feeds only the deeper levels, which a cache step
+        # never computes.
+        if self.add_downsample and run_downsample:
             x = unfold(Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(fold(x)), f)
             outputs.append(x)
         return x, outputs

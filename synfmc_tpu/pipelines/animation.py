@@ -93,6 +93,7 @@ class AnimationPipeline:
         omcm_min_step: int = 700,
         multidiff_total_steps: int = 1,
         multidiff_overlaps: int = 12,
+        deepcache_interval: int = 1,
         decode: bool = True,
     ):
         """Generate videos.  Returns (B, F_total, H, W, 3) in [0, 1] when
@@ -127,6 +128,7 @@ class AnimationPipeline:
             window_length=video_length,
             multidiff_total_steps=multidiff_total_steps,
             multidiff_overlaps=multidiff_overlaps,
+            deepcache_interval=deepcache_interval,
         )
         if not decode:
             return latents
@@ -143,6 +145,7 @@ class AnimationPipeline:
         "window_length",
         "multidiff_total_steps",
         "multidiff_overlaps",
+        "deepcache_interval",
     ),
 )
 def denoise_loop(
@@ -159,8 +162,17 @@ def denoise_loop(
     window_length: int = 16,
     multidiff_total_steps: int = 1,
     multidiff_overlaps: int = 12,
+    deepcache_interval: int = 1,
 ):
-    """jit-compiled CFG denoise loop (lax.scan over the DDIM table)."""
+    """jit-compiled CFG denoise loop (lax.scan over the DDIM table).
+
+    ``deepcache_interval > 1`` enables DeepCache acceleration (Ma et al.,
+    arXiv:2312.00858, rebuilt TPU-first): the deep UNet levels (down 1-3,
+    mid, up 0-2) run only every Nth step; in between, the cached up_blocks_2
+    output is reused and only the shallowest level recomputes.  Opt-in:
+    trades a small amount of fidelity for ~1.5-2x throughput; the default 1
+    is the exact reference-parity path.
+    """
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
     stride = window_length - multidiff_overlaps
 
@@ -185,6 +197,47 @@ def denoise_loop(
         )
         uncond, cond = jnp.split(eps, 2, axis=0)
         return uncond + guidance_scale * (cond - uncond)
+
+    if deepcache_interval > 1:
+        assert multidiff_total_steps == 1, "DeepCache requires multidiff_total_steps == 1"
+
+        def cached_body(carry, xs):
+            latents, deep = carry
+            t, idx = xs
+            latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+            traj_t = None
+            if traj_cfg is not None:
+                gate = (t >= omcm_min_step).astype(latent_in.dtype)
+                traj_t = [tr * gate for tr in traj_cfg]
+            t_vec = jnp.full((latent_in.shape[0],), t)
+
+            def full_step(_):
+                return unet.apply(
+                    unet_params, latent_in, t_vec, context,
+                    pose_features=pose_cfg, traj_features=traj_t, return_deep=True,
+                )
+
+            def shallow_step(_):
+                eps = unet.apply(
+                    unet_params, latent_in, t_vec, context,
+                    pose_features=pose_cfg, traj_features=traj_t, deep_cache=deep,
+                )
+                return eps, deep
+
+            eps, deep = jax.lax.cond(idx % deepcache_interval == 0, full_step, shallow_step, None)
+            uncond, cond = jnp.split(eps, 2, axis=0)
+            eps_cfg = uncond + guidance_scale * (cond - uncond)
+            latents = schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)
+            return (latents, deep), None
+
+        b, f_total, h_lat, w_lat = latents.shape[:4]
+        deep_ch = list(reversed(unet.block_out_channels))[2]
+        deep0 = jnp.zeros((2 * b, f_total, h_lat, w_lat, deep_ch), unet.dtype)
+        (latents, _), _ = jax.lax.scan(
+            cached_body, (latents, deep0),
+            (timesteps, jnp.arange(timesteps.shape[0])),
+        )
+        return latents
 
     def body(latents, t):
         if multidiff_total_steps == 1:

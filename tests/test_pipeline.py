@@ -93,6 +93,56 @@ def test_obj_ctrl_gating(pipe):
     del lat_obj
 
 
+def test_deepcache_matches_hand_rolled_reference(pipe):
+    """deepcache_interval=2 must equal a hand-rolled loop that runs the full
+    UNet on even steps (caching the up_blocks_2 output) and the shallow
+    DeepCache path on odd steps."""
+    steps = 4
+    rng = jax.random.PRNGKey(5)
+    lat_cached = pipe(
+        ["x"], video_length=F, height=H, width=W, num_inference_steps=steps,
+        rng=rng, deepcache_interval=2, decode=False,
+    )
+
+    schedule = pipe.schedule
+    unet, params = pipe.unet, pipe.unet_params
+    context = pipe.encode_prompt(["x"])
+    hl, wl = H // 8, W // 8
+    latents = jax.random.normal(rng, (1, F, hl, wl, 4), jnp.float32) * schedule.init_noise_sigma
+    deep = None
+    for idx, t in enumerate(np.asarray(schedule.ddim_timesteps(steps))):
+        latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+        t_vec = jnp.full((2,), t)
+        if idx % 2 == 0:
+            eps, deep = unet.apply(params, latent_in, t_vec, context, return_deep=True)
+        else:
+            eps = unet.apply(params, latent_in, t_vec, context, deep_cache=deep)
+        uncond, cond = jnp.split(eps, 2, axis=0)
+        eps_cfg = uncond + 8.0 * (cond - uncond)
+        latents = schedule.ddim_step(eps_cfg, t, latents, steps)
+
+    # jit(scan+cond) vs eager evaluation reorders float accumulation; the
+    # latents are O(20) here so compare relatively.
+    np.testing.assert_allclose(np.asarray(lat_cached), np.asarray(latents), rtol=2e-4, atol=1e-3)
+    assert np.isfinite(np.asarray(lat_cached)).all()
+
+
+def test_deepcache_shallow_step_uses_cache(pipe):
+    """The shallow path must actually depend on deep_cache (not recompute)."""
+    hl, wl = H // 8, W // 8
+    x = jnp.ones((2, F, hl, wl, 4)) * 0.1
+    ctx = jnp.zeros((2, 77, 64))
+    t_vec = jnp.full((2,), 500)
+    unet, params = pipe.unet, pipe.unet_params
+    _, deep = unet.apply(params, x, t_vec, ctx, return_deep=True)
+    eps_a = unet.apply(params, x, t_vec, ctx, deep_cache=deep)
+    eps_b = unet.apply(params, x, t_vec, ctx, deep_cache=deep * 2.0)
+    assert np.abs(np.asarray(eps_a) - np.asarray(eps_b)).max() > 1e-6
+    # with the true cache, the shallow step equals the full forward exactly
+    eps_full = unet.apply(params, x, t_vec, ctx)
+    np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_full), atol=1e-5)
+
+
 def test_multidiff_windowing(pipe):
     video = pipe(
         ["pan"], video_length=F, height=H, width=W, num_inference_steps=2,
