@@ -62,13 +62,15 @@ def _build(args):
 
 def make_fake(args):
     """Write randomly-initialized checkpoints in the reference layouts."""
+    _, models, params = _build(args)
+    _write_fake(args.make_fake, params)
+
+
+def _write_fake(root, params):
     import numpy as np
 
     from synfmc_tpu.interop.torch_port import export_torch_state
     from synfmc_tpu.training import checkpoint as ckpt
-
-    _, models, params = _build(args)
-    root = args.make_fake
     # SD1.5 diffusers-layout directory: unet/ (spatial subset), vae/, text_encoder/
     unet_sd = export_torch_state(params["unet"], "unet")
     spatial = {k: v for k, v in unet_sd.items()
@@ -139,6 +141,12 @@ def roundtrip_check(params, loaded_sources):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--make-fake", default=None, help="write fake reference ckpts here and exit")
+    p.add_argument("--self-test", default=None, metavar="DIR",
+                   help="one-process CI mode: write fake ckpts to DIR, PERTURB "
+                        "all params, load the fakes back (so the loaders must "
+                        "actually restore every value), then run the roundtrip "
+                        "+ denoise + activation checks against a self-recorded "
+                        "NCHW npz")
     p.add_argument("--sd15", default=None)
     p.add_argument("--motion-module", default=None)
     p.add_argument("--lora-ckpt", default=None)
@@ -177,6 +185,18 @@ def main():
     from synfmc_tpu.training import checkpoint as ckpt
 
     cfg, models, params = _build(args)
+    if args.self_test:
+        root = args.self_test
+        _write_fake(root, params)
+        # Overwrite every param with a constant: the bundle loads below must
+        # restore the exported values exactly, or roundtrip_check reports a
+        # nonzero diff.  (Loading into a same-seed init would be vacuous.)
+        params = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 0.123), params)
+        args.sd15 = os.path.join(root, "sd15")
+        args.motion_module = os.path.join(root, "mm.ckpt")
+        args.lora_ckpt = os.path.join(root, "lora.ckpt")
+        args.cm_ckpt = os.path.join(root, "cmcm.ckpt")
+        args.omcm_ckpt = os.path.join(root, "omcm.ckpt")
     loaded = {}
 
     if args.sd15:
@@ -231,6 +251,30 @@ def main():
         "shape": list(eps.shape), "finite": bool(jnp.isfinite(eps).all()),
         "std": float(eps.std()),
     }
+
+    if args.self_test:
+        # Self-record an activation npz in the TORCH layout (B,C,F,h,w) so the
+        # layout-conversion path is exercised, then compare against it below.
+        import numpy as np
+
+        lat = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (1, f, hl, wl, 4), jnp.float32))
+        ids = np.zeros((1, 77), np.int64)
+        plk = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (1, f, h, w, 6), jnp.float32))
+        ctx_r = models["text"].apply({"params": params["text"]}, jnp.asarray(ids, jnp.int32))
+        pf_r = models["pose_encoder"].apply({"params": params["pose_encoder"]}, jnp.asarray(plk))
+        eps_r = models["unet"].apply(
+            {"params": params["unet"]}, jnp.asarray(lat), jnp.full((1,), 500, jnp.int32),
+            ctx_r, pose_features=pf_r,
+        )
+        args.activations = os.path.join(args.self_test, "acts.npz")
+        np.savez(
+            args.activations,
+            latents=np.transpose(lat, (0, 4, 1, 2, 3)),
+            timesteps=np.array([500]),
+            input_ids=ids,
+            plucker=np.transpose(plk, (0, 4, 1, 2, 3)),
+            eps=np.transpose(np.asarray(eps_r), (0, 4, 1, 2, 3)),
+        )
 
     if args.activations:
         from synfmc_tpu.evaluation.metrics import psnr

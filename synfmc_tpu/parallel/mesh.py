@@ -41,13 +41,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Put a host batch onto the mesh, sharded on the leading axis."""
+    """Put a host batch onto the mesh, sharded on the leading axis.
+
+    Multi-process: ``batch`` is this process's LOCAL shard (per-host loading
+    via ``local_shard_indices``); the global batch is the concatenation over
+    processes, assembled with ``jax.make_array_from_process_local_data`` —
+    ``device_put`` would treat the local batch as the global array.
+    Replication (small arrays like ``null_ids``) is value-identical across
+    processes, where plain ``device_put`` is multi-process-safe.
+    """
     s = batch_sharding(mesh)
     r = replicated(mesh)
+    nproc = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, s if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0 else r)
+        shardable = x.ndim >= 1 and (x.shape[0] * nproc) % mesh.shape["data"] == 0
+        if not shardable:
+            return jax.device_put(x, r)
+        if nproc == 1:
+            return jax.device_put(x, s)
+        return jax.make_array_from_process_local_data(s, x)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -146,12 +146,16 @@ def init_params(models: dict, config: ConfigDict, stage: str, rng: jax.Array,
     return params
 
 
+def _real_path(p) -> bool:
+    """True when a config path points at an actual file (the shipped configs
+    carry '[path to ...]' placeholders)."""
+    return bool(p) and os.path.exists(str(p))
+
+
 def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dict:
     """Load SD1.5 / AnimateDiff / previous-stage checkpoints when paths are
-    real (the shipped configs carry '[path to ...]' placeholders)."""
-
-    def real(p):
-        return p and os.path.exists(str(p))
+    real."""
+    real = _real_path
 
     sd_path = config.get("pretrained_model_path")
     if real(sd_path):
@@ -171,16 +175,6 @@ def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dic
         params["unet"] = ckpt.load_into_params(params["unet"], bundle["lora_state_dict"], "unet")
         logger.info(f"loaded stage-1 LoRA from {lora_path}")
     cm_path = config.get("pretrained_cm_path")
-    if stage == "obj" and not real(cm_path):
-        # The reference hard-asserts a trained CMC checkpoint before stage 3
-        # (train_cam_obj_ctrl.py:280).  allow_untrained_cm is an explicit
-        # opt-out for fixture smoke runs only.
-        if not bool(config.get("allow_untrained_cm", False)):
-            raise FileNotFoundError(
-                f"stage 3 requires a trained stage-2 CMC checkpoint; "
-                f"pretrained_cm_path={cm_path!r} does not exist "
-                f"(set allow_untrained_cm: true to bypass in smoke tests)"
-            )
     if real(cm_path):
         bundle = ckpt.torch_load_state_dict(str(cm_path))
         params["pose_encoder"] = ckpt.load_into_params(
@@ -191,6 +185,23 @@ def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dic
         )
         logger.info(f"loaded stage-2 CMC from {cm_path}")
     return params
+
+
+def validate_pretrained_paths(config: ConfigDict, stage: str) -> None:
+    """Fail fast (before any model init) on missing mandatory checkpoints.
+
+    The reference hard-asserts a trained CMC checkpoint before stage 3
+    (train_cam_obj_ctrl.py:280).  ``allow_untrained_cm`` is an explicit
+    opt-out for fixture smoke runs only.
+    """
+    cm_path = config.get("pretrained_cm_path")
+    if stage == "obj" and not _real_path(cm_path):
+        if not bool(config.get("allow_untrained_cm", False)):
+            raise FileNotFoundError(
+                f"stage 3 requires a trained stage-2 CMC checkpoint; "
+                f"pretrained_cm_path={cm_path!r} does not exist "
+                f"(set allow_untrained_cm: true to bypass in smoke tests)"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -211,14 +222,23 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     logger = setup_logger(run_dir if is_main_process() else None, jax.process_index())
     logger.info(f"stage={stage} run_dir={run_dir} devices={jax.device_count()}")
 
-    seed = int(config.get("global_seed", 42)) + jax.process_index()
-    rng = jax.random.PRNGKey(seed)
+    # Device-side RNG (init, CFG dropouts, noise, timesteps) must be
+    # IDENTICAL across processes: under multi-process SPMD it is a replicated
+    # jit input, and per-process values would desync the replicas.  Per-
+    # sample randomness still differs per sample (keys split over the global
+    # batch inside the step).  Only HOST-side RNG (loader shuffle, caption
+    # templates) takes the reference's seed = global_seed + rank offset
+    # (train_cam_ctrl.py:200-204).
+    global_seed = int(config.get("global_seed", 42))
+    seed = global_seed + jax.process_index()  # host-side only
+    rng = jax.random.PRNGKey(global_seed)
     rng, init_rng = jax.random.split(rng)
 
     train_data_cfg = dict(config.get_path("train_data.params", ConfigDict()) or {})
     sample_size = tuple(train_data_cfg.get("sample_size", (256, 384)))
     num_frames = int(train_data_cfg.get("sample_n_frames", 16))
 
+    validate_pretrained_paths(config, stage)  # fail fast, before any init
     dtype = jnp.bfloat16 if config.get("mixed_precision_training", True) else jnp.float32
     models = build_models(config, stage, dtype=dtype)
     params = init_params(models, config, stage, init_rng, sample_size, num_frames)

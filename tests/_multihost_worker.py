@@ -1,0 +1,98 @@
+"""Multi-process worker for tests/test_multihost.py — NOT a pytest module.
+
+Simulates one HOST of a 2-host TPU job on CPU: jax.distributed.initialize
+over a localhost coordinator, 4 virtual devices per process (8 global), a
+global ('data','fsdp') mesh spanning both processes, per-process LOCAL
+batches assembled into global arrays, and gloo cross-process collectives for
+the gradient reduction (the CPU stand-in for ICI/DCN).
+
+Prints one line per step: `step <i> loss=<loss> psum=<trainable checksum>`.
+The parent test asserts both processes print IDENTICAL lines — proof the
+replicas stay in sync (replicated rng, collective-reduced grads).
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split() if "host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", num_processes=nproc, process_id=pid)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from synfmc_tpu.data.tokenizer import HashTokenizer  # noqa: E402
+from synfmc_tpu.diffusion import DiffusionSchedule  # noqa: E402
+from synfmc_tpu.models.clip_text import CLIPTextModel  # noqa: E402
+from synfmc_tpu.models.pose_encoder import CameraPoseEncoder  # noqa: E402
+from synfmc_tpu.models.unet3d import UNet3D  # noqa: E402
+from synfmc_tpu.models.vae import AutoencoderKL  # noqa: E402
+from synfmc_tpu.parallel import create_mesh, replicate, shard_batch  # noqa: E402
+from synfmc_tpu.training.optim import make_optimizer  # noqa: E402
+from synfmc_tpu.training.params import partition_params, stage2_cmc_unet_trainable  # noqa: E402
+from synfmc_tpu.training.steps import StepConfig, init_train_state, make_cam_train_step  # noqa: E402
+
+assert jax.device_count() == 4 * nproc, jax.device_count()
+assert jax.local_device_count() == 4
+
+CHS = (32, 64, 128, 128)
+H, W, F, B_LOCAL = 64, 128, 2, 4
+
+unet = UNet3D(block_out_channels=CHS, attn_heads=4, cross_attention_dim=32,
+              use_motion_module=True, camera_cond=True)
+vae = AutoencoderKL(block_out_channels=(32, 32, 32, 32))
+text = CLIPTextModel(vocab_size=49408, hidden_size=32, num_layers=1, num_heads=2)
+pose_enc = CameraPoseEncoder(channels=CHS, temporal_attention_nhead=4)
+
+hl, wl = H // 8, W // 8
+key = jax.random.PRNGKey(0)  # init rng IDENTICAL across processes
+pose = [jnp.zeros((1, F, hl // 2**i, wl // 2**i, c)) for i, c in enumerate(CHS)]
+unet_params = unet.init(key, jnp.zeros((1, F, hl, wl, 4)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 77, 32)), pose_features=pose)["params"]
+vae_v = vae.init(key, jnp.zeros((1, H, W, 3)))
+text_v = text.init(key, jnp.zeros((1, 77), jnp.int32))
+pose_v = pose_enc.init(key, jnp.zeros((1, F, H, W, 6)))
+
+t_unet, f_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+tx = make_optimizer(1e-3)
+cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+state = init_train_state({"unet": t_unet, "pose_encoder": pose_v["params"]}, tx)
+frozen = {"unet": f_unet, "vae": vae_v, "text": text_v}
+step = jax.jit(make_cam_train_step(unet, pose_enc, vae, text,
+                                   DiffusionSchedule.from_config(), tx, cfg))
+
+mesh = create_mesh(num_fsdp=2)  # ('data'=4, 'fsdp'=2) spanning both processes
+state = replicate(state, mesh)
+frozen = replicate(frozen, mesh)
+
+tok = HashTokenizer()
+for i in range(2):
+    # process-LOCAL batch: different data per "host", as per-host loaders give
+    rng = np.random.default_rng(1000 * (pid + 1) + i)
+    local = {
+        "pixel_values": rng.normal(size=(B_LOCAL, F, H, W, 3)).astype(np.float32).clip(-1, 1),
+        "camera_rt": rng.normal(size=(B_LOCAL, F, 12)).astype(np.float32),
+        "intrinsics": np.broadcast_to(np.array([W, H, 0, 0], np.float32), (B_LOCAL, F, 4)).copy(),
+        "obj_union_mask": (rng.uniform(size=(B_LOCAL, F, H, W, 1)) > 0.7).astype(np.float32),
+        "input_ids": np.asarray(tok([f"car {pid} {i} {j}" for j in range(B_LOCAL)])),
+        "background_ids": np.asarray(tok(["a forest"] * B_LOCAL)),
+        "null_ids": np.asarray(tok([""])[0]),
+    }
+    batch = shard_batch(local, mesh)
+    # step rng IDENTICAL across processes (replicated SPMD input)
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(7 + i))
+    loss = float(metrics["loss"])
+    psum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(state.trainable)))
+    print(f"step {i} loss={loss:.6f} psum={psum:.6f}", flush=True)
+
+print(f"proc {pid} done", flush=True)

@@ -5,6 +5,9 @@ import subprocess
 import sys
 
 import yaml
+import pytest
+
+pytestmark = pytest.mark.e2e
 
 
 def test_generate_cli(tmp_path):

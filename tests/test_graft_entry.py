@@ -9,6 +9,9 @@ what backend the calling process has.
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.e2e
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -1,0 +1,52 @@
+"""Multi-HOST data parallelism, simulated as 2 CPU processes (VERDICT r1 #29,
+STATUS gap: 'multi-host wired but untested').
+
+Two processes × 4 virtual devices = an 8-device global ('data','fsdp') mesh
+with gloo cross-process collectives — the CPU analog of a 2-host TPU pod
+slice over ICI/DCN.  Each process feeds DIFFERENT local batches (per-host
+loading); the gradient reduction must keep the replicas bit-identical, which
+also pins two easy-to-regress invariants:
+
+- ``shard_batch`` assembles process-local batches with
+  ``jax.make_array_from_process_local_data`` (``device_put`` would treat the
+  local shard as the global array),
+- the device-side step rng is derived from global_seed only (a per-process
+  offset would desync the SPMD replicas).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.e2e
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_data_parallel_stays_in_sync():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own platform/flags
+    port = "29517"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join("tests", "_multihost_worker.py"), str(i), "2", port],
+            cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    lines = [
+        [ln for ln in o.splitlines() if ln.startswith("step ")]
+        for o in outs
+    ]
+    assert len(lines[0]) == 2, outs[0]
+    # replicas must agree exactly: same loss (global batch) and same updated
+    # trainable checksum on both processes after every step
+    assert lines[0] == lines[1], f"\nproc0: {lines[0]}\nproc1: {lines[1]}"

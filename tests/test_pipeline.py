@@ -14,6 +14,8 @@ from synfmc_tpu.models.unet3d import UNet3D
 from synfmc_tpu.models.vae import AutoencoderKL
 from synfmc_tpu.pipelines import AnimationPipeline
 
+pytestmark = pytest.mark.e2e
+
 CHS = (32, 64, 128, 128)
 H, W, F = 64, 128, 4  # latent 8x16
 

@@ -10,6 +10,8 @@ from synfmc_tpu.config import ConfigDict, load_config
 from synfmc_tpu.data.fixture import build_synthetic_dataset
 from synfmc_tpu.training.trainers import train
 
+pytestmark = pytest.mark.e2e
+
 TINY_OVERRIDES = dict(
     block_out_channels=[32, 64, 128, 128],
     cross_attention_dim=32,

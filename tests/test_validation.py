@@ -11,6 +11,8 @@ from synfmc_tpu.data.fixture import build_synthetic_dataset
 from synfmc_tpu.training.trainers import train
 from tests.test_trainers import TINY_OVERRIDES, _config
 
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def fixture_kwargs(tmp_path_factory):
