@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Evaluation CLI: camera-pose accuracy (RotErr/TransErr) and frame PSNR.
+
+Consumes the artifacts the trainers' validation writes under
+``samples/{step}/`` (computed + GT camera label txts, gifs) — the same
+hooks the reference leaves for its paper metrics (save_camera_info_to_txt_file,
+train_cam_ctrl.py:41-74, 779).
+
+  # all label-txt pairs under a validation step dir
+  python scripts/evaluate.py --samples-dir output/run/samples/200
+
+  # one explicit pair
+  python scripts/evaluate.py --pred cam_label_compute_0.txt --gt cam_label_gt_0.txt
+
+  # per-frame PSNR between two gifs/videos (e.g. ours vs reference render)
+  python scripts/evaluate.py --video-a ours.gif --video-b reference.gif
+
+Prints one JSON object.
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def eval_label_pair(pred, gt):
+    from synfmc_tpu.evaluation.metrics import camera_errors_from_label_txt
+
+    errs = camera_errors_from_label_txt(pred, gt)
+    return {k: (np.asarray(v).round(6).tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in errs.items()}
+
+
+def eval_samples_dir(d):
+    out = {}
+    for pred in sorted(glob.glob(os.path.join(d, "cam_label_compute_*.txt"))):
+        m = re.search(r"cam_label_compute_(\d+)\.txt$", pred)
+        gt = os.path.join(d, f"cam_label_gt_{m.group(1)}.txt")
+        if os.path.exists(gt):
+            out[f"sample_{m.group(1)}"] = eval_label_pair(pred, gt)
+    if not out:
+        return {"error": f"no cam_label_compute_*/cam_label_gt_* pairs in {d}"}
+    rot = [v["rot_err_deg_mean"] for v in out.values()]
+    trans = [v["trans_err_mean"] for v in out.values()]
+    out["aggregate"] = {
+        "rot_err_deg_mean": float(np.mean(rot)),
+        "trans_err_mean": float(np.mean(trans)),
+        "num_samples": len(rot),
+    }
+    return out
+
+
+def eval_videos(path_a, path_b):
+    import imageio.v2 as imageio
+
+    from synfmc_tpu.evaluation.metrics import psnr
+
+    a = np.stack([np.asarray(f) for f in imageio.mimread(path_a)]).astype(np.float32) / 255.0
+    b = np.stack([np.asarray(f) for f in imageio.mimread(path_b)]).astype(np.float32) / 255.0
+    n = min(len(a), len(b))
+    if a.shape[1:] != b.shape[1:]:
+        return {"error": f"frame shapes differ: {a.shape[1:]} vs {b.shape[1:]}"}
+    per_frame = [psnr(a[i], b[i]) for i in range(n)]
+    return {
+        "psnr_per_frame": [round(p, 3) for p in per_frame],
+        "psnr_mean": float(np.mean(per_frame)),
+        "frames_compared": n,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--samples-dir", default=None, help="a samples/{step} validation dir")
+    p.add_argument("--pred", default=None, help="computed camera label txt")
+    p.add_argument("--gt", default=None, help="ground-truth camera label txt")
+    p.add_argument("--video-a", default=None)
+    p.add_argument("--video-b", default=None)
+    args = p.parse_args()
+
+    result = {}
+    if args.samples_dir:
+        result["camera"] = eval_samples_dir(args.samples_dir)
+    if args.pred and args.gt:
+        result["camera_pair"] = eval_label_pair(args.pred, args.gt)
+    if args.video_a and args.video_b:
+        result["video"] = eval_videos(args.video_a, args.video_b)
+    if not result:
+        p.error("nothing to evaluate: pass --samples-dir, --pred/--gt, or --video-a/--video-b")
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
