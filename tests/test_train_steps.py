@@ -188,3 +188,35 @@ def test_stage3_obj_step(cam_setup, rng):
         state.trainable["adapter"], state2.trainable["adapter"],
     )
     assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+@pytest.mark.e2e
+def test_stage2_overfits_one_batch(cam_setup, rng):
+    """Training must actually LEARN: repeated steps on one fixed batch with a
+    fixed (noise, timestep) draw drive the loss down substantially.  Pins the
+    whole grad/optimizer path end-to-end, not just 'loss is finite'."""
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    tx = make_optimizer(3e-3)
+    cfg = StepConfig(
+        apply_masked_loss=False, cfg_random_null_text_ratio=0.0,
+        background_caption_prob=0.0, sample_height=H, sample_width=W,
+    )
+    state = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    step = jax.jit(
+        make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg),
+        donate_argnums=(0,),
+    )
+
+    batch = _video_batch(rng)
+    key = jax.random.PRNGKey(11)  # SAME key every step -> same noise/timesteps
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, frozen, batch, key)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # only the zero-init merges + pose encoder are trainable (the frozen
+    # random UNet predicts most of the target), so expect a solid but not
+    # dramatic drop — measured ~0.74x over 25 steps at this lr
+    assert np.mean(losses[-5:]) < 0.85 * np.mean(losses[:5]), losses
