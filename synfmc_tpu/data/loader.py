@@ -7,8 +7,9 @@ dataset (keyed on jax.process_index()); worker *processes* run the numpy/PIL
 serialize on the GIL); a bounded result queue applies backpressure and the
 parent reorders batches so iteration order is deterministic.
 
-Workers never touch JAX: the dataset path is numpy-only, so the forked
-children never initialize a device backend.  Each worker reseeds the
+Workers never touch JAX: the dataset path is numpy-only and workers are
+forked from a clean forkserver process (never from the JAX-multithreaded
+parent), so they never initialize a device backend.  Each worker reseeds the
 dataset's RNG from (seed, epoch, worker_id) — the analog of torch's
 per-worker base_seed + worker_id.
 """
@@ -49,6 +50,7 @@ class ShardedLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         drop_last: bool = True,
+        mp_context: str = "forkserver",
     ):
         import jax
 
@@ -62,6 +64,7 @@ class ShardedLoader:
         self.process_index = jax.process_index() if process_index is None else process_index
         self.process_count = jax.process_count() if process_count is None else process_count
         self.drop_last = drop_last
+        self.mp_context = mp_context
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -92,10 +95,12 @@ class ShardedLoader:
                 yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
             return
 
-        # fork: the dataset ships to workers by COW memory, not pickling.
-        # Children only run numpy/PIL code, so the parent's JAX backend
-        # state is never exercised in them.
-        ctx = mp.get_context("fork")
+        # forkserver: forking directly from this (JAX-multithreaded) process
+        # can deadlock in locks held at fork time — JAX warns about exactly
+        # this.  The fork server is a clean single-threaded process; workers
+        # fork from it and receive the dataset by pickling.  Workers only run
+        # numpy/PIL code and never initialize a device backend.
+        ctx = mp.get_context(self.mp_context)
         job_q = ctx.Queue()
         out_q = ctx.Queue(maxsize=self.prefetch + self.num_workers)
         for job in enumerate(batches):

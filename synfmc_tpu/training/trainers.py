@@ -117,7 +117,13 @@ def build_models(config: ConfigDict, stage: str, dtype=jnp.float32) -> dict:
 
 def init_params(models: dict, config: ConfigDict, stage: str, rng: jax.Array,
                 sample_size, num_frames: int) -> dict:
-    """Random-init all param trees at the configured shapes."""
+    """Random-init all param trees at the configured shapes.
+
+    Every ``Module.init`` is wrapped in ``jax.jit``: un-jitted init runs
+    op-by-op, which at SD1.5 scale means thousands of dispatches — tens of
+    minutes behind a high-latency device transport vs seconds as one
+    compiled program.
+    """
     h, w = sample_size
     hl, wl = h // 8, w // 8
     f = 1 if stage == "lora" else num_frames
@@ -127,22 +133,27 @@ def init_params(models: dict, config: ConfigDict, stage: str, rng: jax.Array,
     pose_feats = None
     if stage in ("cam", "obj"):
         pose_feats = [jnp.zeros((1, f, hl // 2**i, wl // 2**i, c)) for i, c in enumerate(chs)]
+
+    def jinit(module, key, *args, **kwargs):
+        return jax.jit(lambda k: module.init(k, *args, **kwargs))(key)["params"]
+
     params = {
-        "unet": models["unet"].init(
-            keys[0], jnp.zeros((1, f, hl, wl, 4)), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, xdim)), pose_features=pose_feats,
-        )["params"],
-        "vae": models["vae"].init(keys[1], jnp.zeros((1, 64, 64, 3)))["params"],
-        "text": models["text"].init(keys[2], jnp.zeros((1, 77), jnp.int32))["params"],
+        "unet": jinit(
+            models["unet"], keys[0], jnp.zeros((1, f, hl, wl, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, xdim)),
+            pose_features=pose_feats,
+        ),
+        "vae": jinit(models["vae"], keys[1], jnp.zeros((1, 64, 64, 3))),
+        "text": jinit(models["text"], keys[2], jnp.zeros((1, 77), jnp.int32)),
     }
     if "pose_encoder" in models:
-        params["pose_encoder"] = models["pose_encoder"].init(
-            keys[3], jnp.zeros((1, f, h, w, 6))
-        )["params"]
+        params["pose_encoder"] = jinit(
+            models["pose_encoder"], keys[3], jnp.zeros((1, f, h, w, 6))
+        )
     if "adapter" in models:
-        params["adapter"] = models["adapter"].init(
-            keys[4], jnp.zeros((f, h, w, 13)), jnp.zeros((f, h, w, 1))
-        )["params"]
+        params["adapter"] = jinit(
+            models["adapter"], keys[4], jnp.zeros((f, h, w, 13)), jnp.zeros((f, h, w, 1))
+        )
     return params
 
 
