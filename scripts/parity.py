@@ -67,8 +67,6 @@ def make_fake(args):
 
 
 def _write_fake(root, params):
-    import numpy as np
-
     from synfmc_tpu.interop.torch_port import export_torch_state
     from synfmc_tpu.training import checkpoint as ckpt
     # SD1.5 diffusers-layout directory: unet/ (spatial subset), vae/, text_encoder/
@@ -181,7 +179,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from synfmc_tpu.interop.torch_port import import_torch_state
     from synfmc_tpu.training import checkpoint as ckpt
 
     cfg, models, params = _build(args)
@@ -290,8 +287,6 @@ def main():
         lat = to_nhwc(np.asarray(rec["latents"]), 4)
         tt = jnp.asarray(rec["timesteps"], jnp.int32)
         ids = jnp.asarray(rec["input_ids"], jnp.int32)
-        from synfmc_tpu.data.tokenizer import load_tokenizer  # noqa: F401  (ids already tokenized)
-
         ctx = models["text"].apply({"params": params["text"]}, ids)
         pf = None
         if "plucker" in rec:

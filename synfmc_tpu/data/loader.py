@@ -101,6 +101,11 @@ class ShardedLoader:
         # fork from it and receive the dataset by pickling.  Workers only run
         # numpy/PIL code and never initialize a device backend.
         ctx = mp.get_context(self.mp_context)
+        if self.mp_context == "forkserver":
+            # CPython's forkserver preloads ['__main__'] by default, which
+            # RE-EXECUTES guard-less user scripts in the server process.
+            # Preload nothing; workers import modules at unpickle time.
+            ctx.set_forkserver_preload([])
         job_q = ctx.Queue()
         out_q = ctx.Queue(maxsize=self.prefetch + self.num_workers)
         for job in enumerate(batches):
