@@ -7,9 +7,8 @@ dataset (keyed on jax.process_index()); worker *processes* run the numpy/PIL
 serialize on the GIL); a bounded result queue applies backpressure and the
 parent reorders batches so iteration order is deterministic.
 
-Workers never touch JAX: the dataset path is numpy-only and workers are
-forked from a clean forkserver process (never from the JAX-multithreaded
-parent), so they never initialize a device backend.  Each worker reseeds the
+Workers never touch JAX: the dataset path is numpy-only, so the worker
+children never initialize a device backend.  Each worker reseeds the
 dataset's RNG from (seed, epoch, worker_id) — the analog of torch's
 per-worker base_seed + worker_id.
 """
@@ -50,7 +49,7 @@ class ShardedLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         drop_last: bool = True,
-        mp_context: str = "forkserver",
+        mp_context: str = "fork",
     ):
         import jax
 
@@ -95,17 +94,21 @@ class ShardedLoader:
                 yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
             return
 
-        # forkserver: forking directly from this (JAX-multithreaded) process
-        # can deadlock in locks held at fork time — JAX warns about exactly
-        # this.  The fork server is a clean single-threaded process; workers
-        # fork from it and receive the dataset by pickling.  Workers only run
-        # numpy/PIL code and never initialize a device backend.
+        # mp-context tradeoff (measured, not theoretical):
+        #  - "fork" (default, = torch DataLoader on Linux): dataset ships by
+        #    COW, no pickling, and — crucially — no __main__ re-import.  JAX
+        #    warns that forking a multithreaded parent can deadlock; workers
+        #    only run numpy/PIL code and never touch the device backend,
+        #    which is the same posture every torch/CUDA training stack runs.
+        #  - "forkserver"/"spawn": avoid the fork-from-threads hazard but
+        #    RE-IMPORT ``__main__`` in the children (standard spawn-family
+        #    semantics), so any driver script without an
+        #    ``if __name__ == "__main__"`` guard re-executes itself — this
+        #    bit us in practice (duplicated training runs, stalled workers).
+        #    Opt in via mp_context= only when your entry script is guarded.
         ctx = mp.get_context(self.mp_context)
         if self.mp_context == "forkserver":
-            # CPython's forkserver preloads ['__main__'] by default, which
-            # RE-EXECUTES guard-less user scripts in the server process.
-            # Preload nothing; workers import modules at unpickle time.
-            ctx.set_forkserver_preload([])
+            ctx.set_forkserver_preload([])  # don't preload __main__ in the server
         job_q = ctx.Queue()
         out_q = ctx.Queue(maxsize=self.prefetch + self.num_workers)
         for job in enumerate(batches):
