@@ -26,6 +26,11 @@ def main():
     p.add_argument("--cm-ckpt", default=None, help="stage-2 CMC bundle")
     p.add_argument("--omcm-ckpt", default=None, help="stage-3 OMC bundle")
     p.add_argument("--camera-txt", default=None, help="camera label txt for the trajectory")
+    p.add_argument("--obj-traj-npz", default=None,
+                   help="object trajectories for OMC: npz with obj_info (F,O,12) "
+                        "camera-relative poses and obj_masks (F,O,H,W) in [0,1] "
+                        "(e.g. dumped from UnrealTrajVideoDataset."
+                        "create_validation_sample)")
     p.add_argument("--num-inference-steps", type=int, default=25)
     p.add_argument("--guidance-scale", type=float, default=8.0)
     p.add_argument("--video-length", type=int, default=16)
@@ -106,11 +111,31 @@ def main():
             c2w = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, f, 4, 4))
         plucker = plucker_embedding(intr, c2w, h, w)
 
+    traj_features = None
+    if args.obj_traj_npz:
+        assert args.omcm_ckpt, "--obj-traj-npz requires --omcm-ckpt"
+        from synfmc_tpu.utils.traj_features import rasterize_traj_features
+
+        rec = np.load(args.obj_traj_npz)
+        obj_info = jnp.asarray(rec["obj_info"], jnp.float32)[None]  # (1,F,O,12)
+        masks = jnp.asarray(rec["obj_masks"], jnp.float32)[None]  # (1,F,O,H,W)
+        traj_r, mask_r = rasterize_traj_features(obj_info, masks)
+        feats = jnp.concatenate([traj_r, mask_r], axis=-1) * mask_r
+        fb, ff = feats.shape[:2]
+        traj_features = pipe.encode_traj(
+            feats.reshape(fb * ff, *feats.shape[2:]),
+            mask_r.reshape(fb * ff, *mask_r.shape[2:]), ff,
+        )
+        if len(args.prompt) > 1:
+            traj_features = [jnp.tile(t, (len(args.prompt), 1, 1, 1, 1)) for t in traj_features]
+
     video = pipe(
         args.prompt, video_length=f, height=h, width=w,
         num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
         negative_prompts=args.negative_prompt, rng=jax.random.PRNGKey(args.seed),
-        plucker=plucker, deepcache_interval=args.deepcache,
+        plucker=plucker, traj_features=traj_features,
+        omcm_min_step=int(config.get("omcm_min_step", 700)),
+        deepcache_interval=args.deepcache,
     )
     save_videos_grid(np.asarray(video), args.out)
     print(f"wrote {args.out}")
