@@ -154,3 +154,27 @@ def test_multidiff_windowing(pipe):
     # total frames = 2*(4-2)+2 = 6
     assert video.shape == (1, 6, H // 8, W // 8, 4)
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_denoise_loop_sharded_over_mesh(pipe):
+    """Inference data parallelism: the jitted denoise_loop runs with latents
+    sharded over the 8-device 'data' axis (serving-side analog of the
+    training DP test)."""
+    from synfmc_tpu.parallel import create_mesh
+    from synfmc_tpu.pipelines.animation import denoise_loop
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = create_mesh()
+    hl, wl = H // 8, W // 8
+    b = 8
+    lat = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(6), (b, F, hl, wl, 4), jnp.float32),
+        NamedSharding(mesh, P("data")),
+    )
+    ctx = jax.device_put(
+        jnp.zeros((2 * b, 77, 64)), NamedSharding(mesh, P("data")))
+    out = denoise_loop(pipe.unet, pipe.unet_params, pipe.schedule, lat, ctx,
+                       num_inference_steps=2)
+    assert out.shape == (b, F, hl, wl, 4)
+    assert out.sharding.spec == P("data")
+    assert np.isfinite(np.asarray(out)).all()
