@@ -82,10 +82,66 @@ def categorize(name: str) -> str:
     return "other"
 
 
+def _profiled_train_step():
+    """Build the full-scale stage-2 train step + batch (bench_train setup)."""
+    import jax
+    import jax.numpy as jnp
+
+    from synfmc_tpu.config import ConfigDict
+    from synfmc_tpu.diffusion import DiffusionSchedule
+    from synfmc_tpu.training.optim import make_optimizer
+    from synfmc_tpu.training.params import partition_params, stage2_cmc_unet_trainable
+    from synfmc_tpu.training.steps import StepConfig, TrainState, make_cam_train_step
+    from synfmc_tpu.training.trainers import build_models
+
+    h, w, b, f = 256, 384, 1, 16
+    models = build_models(ConfigDict({"unet_additional_kwargs": {"use_motion_module": True}}),
+                          "cam", dtype=jnp.bfloat16)
+    schedule = DiffusionSchedule.from_config()
+    tx = make_optimizer(1e-4)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=h, sample_width=w, remat=True)
+    hl, wl = h // 8, w // 8
+    chs = models["unet"].block_out_channels
+    xdim = models["unet"].cross_attention_dim
+    pose_feats = [jnp.zeros((1, f, hl // 2**i, wl // 2**i, c)) for i, c in enumerate(chs)]
+    shapes = {
+        "unet": jax.eval_shape(lambda r: models["unet"].init(
+            r, jnp.zeros((1, f, hl, wl, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, xdim)), pose_features=pose_feats), jax.random.PRNGKey(0)),
+        "pose_encoder": jax.eval_shape(lambda r: models["pose_encoder"].init(
+            r, jnp.zeros((1, f, h, w, 6))), jax.random.PRNGKey(1)),
+        "vae": jax.eval_shape(lambda r: models["vae"].init(
+            r, jnp.zeros((1, h, w, 3)), jax.random.PRNGKey(9)), jax.random.PRNGKey(2)),
+        "text": jax.eval_shape(lambda r: models["text"].init(
+            r, jnp.zeros((1, 77), jnp.int32)), jax.random.PRNGKey(3)),
+    }
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = {k: v["params"] for k, v in params.items()}
+    t_unet, f_unet = partition_params(params["unet"], stage2_cmc_unet_trainable)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       trainable={"unet": t_unet, "pose_encoder": params["pose_encoder"]},
+                       opt_state=tx.init({"unet": t_unet, "pose_encoder": params["pose_encoder"]}))
+    frozen = {"unet": f_unet, "vae": {"params": params["vae"]}, "text": {"params": params["text"]}}
+    step = jax.jit(make_cam_train_step(models["unet"], models["pose_encoder"], models["vae"],
+                                       models["text"], schedule, tx, cfg), donate_argnums=(0,))
+    batch = {
+        "pixel_values": jax.random.normal(jax.random.PRNGKey(5), (b, f, h, w, 3), jnp.float32) * 0.5,
+        "input_ids": jnp.ones((b, 77), jnp.int32),
+        "background_ids": jnp.ones((b, 77), jnp.int32),
+        "null_ids": jnp.ones((77,), jnp.int32),
+        "camera_rt": jnp.tile(jnp.asarray([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], jnp.float32), (b, f, 1)),
+        "intrinsics": jnp.tile(jnp.asarray([24.0, 36.0, 0.0, 0.0], jnp.float32), (b, f, 1)),
+        "obj_union_mask": jnp.ones((b, f, h, w, 1), jnp.float32) * 0.5,
+    }
+    return step, state, frozen, batch
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--outdir", default="/tmp/synfmc_prof")
     p.add_argument("--top", type=int, default=30)
+    p.add_argument("--train-step", action="store_true",
+                   help="profile the full stage-2 train step instead of the CFG forward")
     args = p.parse_args()
 
     import jax
@@ -97,33 +153,43 @@ def main():
 
     from synfmc_tpu.models.unet3d import UNet3D
 
-    dtype = jnp.bfloat16
-    chs = (320, 640, 1280, 1280)
-    b, f, hl, wl = 1, 16, 32, 48
-    unet = UNet3D(block_out_channels=chs, attn_heads=8, cross_attention_dim=768,
-                  use_motion_module=True, camera_cond=True, lora_rank=2, dtype=dtype)
-    rng = jax.random.PRNGKey(0)
-    lat = jax.random.normal(rng, (2 * b, f, hl, wl, 4), dtype)
-    ctx = jax.random.normal(rng, (2 * b, 77, 768), dtype)
-    pose = [jax.random.normal(rng, (2 * b, f, hl // 2**i, wl // 2**i, c), dtype) * 0.02
-            for i, c in enumerate(chs)]
-    traj = [p_ * 0.5 for p_ in pose]
-    shapes = jax.eval_shape(lambda r: unet.init(r, lat, jnp.zeros((2 * b,), jnp.int32), ctx,
-                                                pose_features=pose, traj_features=traj),
-                            jax.random.PRNGKey(1))
-    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if args.train_step:
+        step, state, frozen, batch = _profiled_train_step()
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(7))
+        _ = float(metrics["loss"])  # compile + warm
+        print("# compiled; tracing one train step", file=sys.stderr)
+        os.makedirs(args.outdir, exist_ok=True)
+        with jax.profiler.trace(args.outdir):
+            batch2 = dict(batch, pixel_values=batch["pixel_values"] + 1e-3)
+            state, metrics = step(state, frozen, batch2, jax.random.PRNGKey(8))
+            _ = float(metrics["loss"])
+    else:
+        dtype = jnp.bfloat16
+        chs = (320, 640, 1280, 1280)
+        b, f, hl, wl = 1, 16, 32, 48
+        unet = UNet3D(block_out_channels=chs, attn_heads=8, cross_attention_dim=768,
+                      use_motion_module=True, camera_cond=True, lora_rank=2, dtype=dtype)
+        rng = jax.random.PRNGKey(0)
+        lat = jax.random.normal(rng, (2 * b, f, hl, wl, 4), dtype)
+        ctx = jax.random.normal(rng, (2 * b, 77, 768), dtype)
+        pose = [jax.random.normal(rng, (2 * b, f, hl // 2**i, wl // 2**i, c), dtype) * 0.02
+                for i, c in enumerate(chs)]
+        traj = [p_ * 0.5 for p_ in pose]
+        shapes = jax.eval_shape(lambda r: unet.init(r, lat, jnp.zeros((2 * b,), jnp.int32), ctx,
+                                                    pose_features=pose, traj_features=traj),
+                                jax.random.PRNGKey(1))
+        params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        fwd = jax.jit(lambda p_, l_: unet.apply(p_, l_, jnp.full((2 * b,), 500), ctx,
+                                                pose_features=pose, traj_features=traj))
+        out = fwd(params, lat)
+        _ = float(jnp.sum(out.astype(jnp.float32)))  # compile + warm
+        print("# compiled; tracing one forward", file=sys.stderr)
 
-    fwd = jax.jit(lambda p_, l_: unet.apply(p_, l_, jnp.full((2 * b,), 500), ctx,
-                                            pose_features=pose, traj_features=traj))
-    out = fwd(params, lat)
-    _ = float(jnp.sum(out.astype(jnp.float32)))  # compile + warm
-    print("# compiled; tracing one forward", file=sys.stderr)
-
-    os.makedirs(args.outdir, exist_ok=True)
-    with jax.profiler.trace(args.outdir):
-        lat2 = lat + 1e-3
-        out = fwd(params, lat2)
-        _ = float(jnp.sum(out.astype(jnp.float32)))
+        os.makedirs(args.outdir, exist_ok=True)
+        with jax.profiler.trace(args.outdir):
+            lat2 = lat + 1e-3
+            out = fwd(params, lat2)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
 
     pbs = sorted(glob.glob(os.path.join(args.outdir, "**", "*.xplane.pb"), recursive=True),
                  key=os.path.getmtime)

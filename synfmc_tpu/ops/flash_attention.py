@@ -289,9 +289,59 @@ def _bwd_packed_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_packed_single_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                              *, scale: float, heads: int, d: int):
+    """Whole-sequence backward (one q-block per batch row): dK/dV are written
+    directly — no cross-step scratch accumulation, which saves three full
+    passes over the (Sk, C) accumulators (zero + RMW + copy-out)."""
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl] * scale  # q'
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(logits, axis=1, keepdims=True)
+        pu = jnp.exp(logits - m)
+        den = jnp.sum(pu, axis=1, keepdims=True)
+        puc = pu.astype(v.dtype)
+        don = do_ref[0, :, sl].astype(jnp.float32) / den
+        donc = don.astype(v.dtype)
+        dp = jax.lax.dot_general(donc, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ou = jax.lax.dot_general(puc, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.sum(don * ou, axis=1, keepdims=True) / den
+        ds = pu * (dp - delta)
+        dsc = ds.astype(k.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            dsc, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            puc, donc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+
+# whole-sequence bwd VMEM budget: 7 bf16 blocks + fp32 softmax intermediates
+_BWD_SINGLE_MAX_SC = 24 * 1024 * 1024 // 22
+
+
 def _bwd_packed(q2, k2, v2, do2, scale, heads, block_q, interpret=False):
     b, sq, c = q2.shape
     sk = k2.shape[1]
+    if sq == sk and sq * c <= _BWD_SINGLE_MAX_SC:
+        block = lambda: pl.BlockSpec((1, sq, c), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_bwd_packed_single_kernel, scale=scale, heads=heads, d=c // heads),
+            grid=(b,),
+            in_specs=[block(), block(), block(), block()],
+            out_specs=[block(), block(), block()],
+            out_shape=[jax.ShapeDtypeStruct(q2.shape, q2.dtype)] * 3,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(q2, k2, v2, do2)
     return pl.pallas_call(
         functools.partial(_bwd_packed_kernel, scale=scale, heads=heads, d=c // heads),
         grid=(b, sq // block_q),
