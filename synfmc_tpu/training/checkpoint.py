@@ -44,9 +44,22 @@ def save_native(ckpt_dir: str, step: int, state: Any) -> str:
 
 
 def restore_native(path: str, template: Any) -> Any:
-    import orbax.checkpoint as ocp
+    """Restore an Orbax bundle against ``template``'s structure.
 
-    return _ckptr().restore(path, item=template)
+    The template is reduced to ShapeDtypeStructs first, so callers can pass
+    the LIVE device state without it ever being fetched to host — at full
+    scale that fetch is gigabytes through the device transport (and is what
+    made resume flaky over the tunnel).  Restored leaves come back as host
+    numpy; the caller re-shards (trainers.py replicates onto the mesh).
+    """
+    import jax
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") and hasattr(x, "dtype") else x,
+        template,
+    )
+    return _ckptr().restore(path, item=abstract)
 
 
 def latest_native(ckpt_dir: str) -> Optional[str]:

@@ -360,7 +360,9 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     global_step = 0
     resume_from = config.get("resume_from")
     if resume_from:
-        state = ckpt.restore_native(str(resume_from), jax.device_get(state))
+        # restore_native works from an abstract template — the live state is
+        # never fetched to host (gigabytes at full scale)
+        state = ckpt.restore_native(str(resume_from), state)
         state = replicate(state, mesh)
         global_step = int(state.step)
         logger.info(f"resumed from {resume_from} at step {global_step}")
