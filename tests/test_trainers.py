@@ -70,3 +70,19 @@ def test_train_stage_smoke(stage, fixture_kwargs, tmp_path):
     # reference-compatible bundle exists
     torch_bundles = glob.glob(os.path.join(run_dir, "checkpoints", "*.ckpt"))
     assert torch_bundles
+
+
+def test_resume_from_native_checkpoint(fixture_kwargs, tmp_path):
+    """Orbax resume (reference: train_cam_ctrl.py:467-495): a second run
+    restoring step-2 must continue the step counter and produce finite
+    losses with restored optimizer state."""
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    m1 = train("cam", cfg, max_steps_override=2)
+    step_dir = os.path.join(m1["run_dir"], "checkpoints", "step-2")
+    assert os.path.isdir(step_dir), os.listdir(os.path.join(m1["run_dir"], "checkpoints"))
+
+    cfg2 = _config("cam", fixture_kwargs, tmp_path)
+    cfg2["resume_from"] = step_dir
+    m2 = train("cam", cfg2, max_steps_override=4)  # resumes at 2, runs to 4
+    assert m2["steps"] == 4
+    assert np.isfinite(m2["loss"])
