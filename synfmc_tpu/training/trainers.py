@@ -377,6 +377,12 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     last_saved_step = -1
     data_iter = iter(loader)
     data_t0 = time.time()
+    if len(loader) == 0:
+        raise ValueError(
+            f"empty data loader: dataset has {len(dataset)} examples on this "
+            f"host but train_batch_size={loader.batch_size} with "
+            f"drop_last — no full batch can be formed"
+        )
     while global_step < max_steps:
         try:
             raw = next(data_iter)

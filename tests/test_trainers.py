@@ -86,3 +86,12 @@ def test_resume_from_native_checkpoint(fixture_kwargs, tmp_path):
     m2 = train("cam", cfg2, max_steps_override=4)  # resumes at 2, runs to 4
     assert m2["steps"] == 4
     assert np.isfinite(m2["loss"])
+
+
+def test_empty_loader_raises_clear_error(fixture_kwargs, tmp_path):
+    """batch_size > per-host dataset size must fail with a clear message,
+    not an escaping StopIteration (found by the full-scale lora smoke)."""
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["train_batch_size"] = 4096
+    with pytest.raises(ValueError, match="empty data loader"):
+        train("cam", cfg, max_steps_override=1)
