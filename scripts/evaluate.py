@@ -67,7 +67,10 @@ def eval_videos(path_a, path_b):
     n = min(len(a), len(b))
     if a.shape[1:] != b.shape[1:]:
         return {"error": f"frame shapes differ: {a.shape[1:]} vs {b.shape[1:]}"}
-    per_frame = [psnr(a[i], b[i]) for i in range(n)]
+    # psnr() is +inf for identical frames; json.dumps would emit the
+    # non-standard token Infinity which strict parsers (jq) reject — clamp
+    # to a finite cap (exact match is the case this CLI certifies).
+    per_frame = [min(psnr(a[i], b[i]), 99.0) for i in range(n)]
     return {
         "psnr_per_frame": [round(p, 3) for p in per_frame],
         "psnr_mean": float(np.mean(per_frame)),

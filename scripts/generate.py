@@ -37,6 +37,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default="output/generated.gif")
     p.add_argument("--cpu", action="store_true", help="force CPU backend (tests)")
+    p.add_argument("--allow-untrained-cm", action="store_true",
+                   help="bypass the stage-3 trained-CMC requirement (smoke tests "
+                        "only; without it, --omcm-ckpt requires --cm-ckpt)")
     p.add_argument("--deepcache", type=int, default=1, metavar="N",
                    help="DeepCache interval: deep UNet levels refresh every Nth "
                         "denoise step (1 = exact, >1 trades fidelity for speed)")
@@ -66,6 +69,14 @@ def main():
     logger = setup_logger(None, 0)
 
     stage = "obj" if args.omcm_ckpt else "cam"
+    if args.allow_untrained_cm:
+        config["allow_untrained_cm"] = True
+    # Stage-3 inference with a random pose encoder produces garbage while
+    # looking healthy; the reference hard-asserts a trained CMC checkpoint
+    # (train_cam_obj_ctrl.py:280).  Same fail-fast guard as train().
+    from synfmc_tpu.training.trainers import validate_pretrained_paths
+
+    validate_pretrained_paths(config, stage)
     train_params = config.get_path("train_data.params", {}) or {}
     sample_size = tuple(train_params.get("sample_size", (256, 384)))
     dtype = jnp.bfloat16 if config.get("mixed_precision_training", True) else jnp.float32
@@ -85,7 +96,8 @@ def main():
         unet=models["unet"], unet_params={"params": params["unet"]},
         vae=models["vae"], vae_params={"params": params["vae"]},
         text_encoder=models["text"], text_params={"params": params["text"]},
-        tokenizer=load_tokenizer(config.get("pretrained_model_path")),
+        tokenizer=load_tokenizer(config.get("pretrained_model_path"),
+                                 strict=bool(config.get("strict_pretrained", False))),
         schedule=schedule,
         pose_encoder=models.get("pose_encoder"),
         pose_encoder_params={"params": params["pose_encoder"]} if "pose_encoder" in params else None,

@@ -23,7 +23,40 @@ from typing import Callable, Iterator, Optional
 import numpy as np
 
 
+def _poison_jax_in_worker() -> None:
+    """Make any JAX device access inside a data worker fail loudly.
+
+    Workers are forked from a parent whose JAX runtime threads may be live —
+    the documented deadlock hazard.  The dataset path is numpy-only by
+    design, but that invariant was previously unenforced: a future call path
+    touching JAX in a child would hang, not error.  Patch the backend entry
+    points in the CHILD (fork → affects only this process) so a violation
+    raises immediately instead.
+    """
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return
+
+    def _raise(*_a, **_k):
+        raise RuntimeError(
+            "JAX used inside a data-loader worker (forked child). Dataset "
+            "code must be numpy-only; move device work to the parent."
+        )
+
+    try:
+        from jax._src import xla_bridge
+
+        xla_bridge.backends = _raise
+        xla_bridge.get_backend = _raise
+        jax.devices = _raise
+    except Exception:
+        pass  # best-effort guard; internals may move across JAX versions
+
+
 def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int) -> None:
+    _poison_jax_in_worker()
     # per-worker RNG stream (torch DataLoader worker-seeding analog)
     if hasattr(dataset, "rng") and isinstance(dataset.rng, random.Random):
         dataset.rng = random.Random(seed)
@@ -72,9 +105,18 @@ class ShardedLoader:
         self.epoch = epoch
 
     def _epoch_indices(self) -> np.ndarray:
+        """Global permutation → stride-sliced per-host shard.
+
+        DistributedSampler semantics (train_cam_ctrl.py:342): the shuffle
+        seed is the GLOBAL seed (+epoch), identical on every host, so all
+        hosts compute the same permutation and the stride slices partition
+        the dataset (disjoint, complete).  A per-host seed here would make
+        the shards overlap/omit samples.  Per-host randomness lives in the
+        dataset/worker RNG only (seeded with + process_index below).
+        """
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+            rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
         return idx[self.process_index :: self.process_count]
 
@@ -120,7 +162,12 @@ class ShardedLoader:
             ctx.Process(
                 target=_worker_loop,
                 args=(self.dataset, self.collate_fn, job_q, out_q,
-                      self.seed * 100003 + self.epoch * 1009 + w),
+                      # per-(host, epoch, worker) sample-RNG stream; collision-
+                      # free via SeedSequence (seed+epoch arithmetic collides
+                      # across (rank, epoch) pairs)
+                      int(np.random.SeedSequence(
+                          (self.seed, self.process_index, self.epoch, w)
+                      ).generate_state(1)[0])),
                 daemon=True,
             )
             for w in range(n_workers)

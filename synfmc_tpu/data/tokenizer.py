@@ -10,9 +10,12 @@ offline fallback for tests and for running without an SD checkpoint.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 import numpy as np
+
+logger = logging.getLogger("synfmc")
 
 BOS_ID = 49406
 EOS_ID = 49407
@@ -42,8 +45,14 @@ class HashTokenizer:
         return out
 
 
-def load_tokenizer(pretrained_path: str | None = None):
-    """CLIPTokenizer from a local SD checkpoint dir, else the hash fallback."""
+def load_tokenizer(pretrained_path: str | None = None, strict: bool = False):
+    """CLIPTokenizer from a local SD checkpoint dir, else the hash fallback.
+
+    The fallback is LOUD: a run pointed at a slightly-wrong SD path would
+    otherwise train on hash tokens and produce garbage conditioning while
+    looking healthy.  ``strict=True`` (config ``strict_pretrained``) makes
+    the fallback fatal — the right setting for any real run.
+    """
     if pretrained_path:
         tok_dir = os.path.join(pretrained_path, "tokenizer")
         target = tok_dir if os.path.isdir(tok_dir) else pretrained_path
@@ -62,4 +71,16 @@ def load_tokenizer(pretrained_path: str | None = None):
                 return enc["input_ids"].astype(np.int32)
 
             return encode
+    if strict:
+        raise FileNotFoundError(
+            f"strict_pretrained: no CLIP tokenizer vocab.json under "
+            f"{pretrained_path!r} — refusing the HashTokenizer fallback"
+        )
+    if pretrained_path:
+        logger.error(
+            f"no CLIP vocab.json under {pretrained_path!r} — FALLING BACK to "
+            f"the deterministic HashTokenizer. Text conditioning will be "
+            f"meaningless with real weights; set strict_pretrained: true to "
+            f"make this fatal."
+        )
     return HashTokenizer()

@@ -57,6 +57,10 @@ class UNet3D(nn.Module):
     # motion module (AnimateDiff)
     use_motion_module: bool = False
     motion_module_mid_block: bool = False
+    # Insert motion modules only at these resolutions (downsample factors):
+    # down block i has res 2**i, up block i has res 2**(n-1-i)
+    # (fmc/models/unet.py:154, 178, 243, 276). Default = all four levels.
+    motion_module_resolutions: Sequence[int] = (1, 2, 4, 8)
     motion_num_heads: int = 8
     motion_transformer_blocks: int = 1
     motion_attention_blocks: int = 2
@@ -123,6 +127,12 @@ class UNet3D(nn.Module):
             f,
         )
 
+        mm_res = tuple(self.motion_module_resolutions)
+
+        def motion_at(res: int) -> bool:
+            # unet.py:178/276: use_motion_module and (res in motion_module_resolutions)
+            return self.use_motion_module and res in mm_res
+
         motion_kw = dict(
             use_motion_module=self.use_motion_module,
             motion_num_heads=self.motion_num_heads,
@@ -152,7 +162,7 @@ class UNet3D(nn.Module):
                 lora_scale=self.lora_scale,
                 dtype=self.dtype,
                 name="down_blocks_0",
-                **motion_kw,
+                **{**motion_kw, "use_motion_module": motion_at(1)},
             )(x, temb, encoder_hidden_states, pose_feature=pose_features[0],
               traj_feature=traj_features[0], run_downsample=False)
             skips = [x] + outs
@@ -166,7 +176,7 @@ class UNet3D(nn.Module):
                 lora_scale=self.lora_scale,
                 dtype=self.dtype,
                 name="up_blocks_3",
-                **motion_kw,
+                **{**motion_kw, "use_motion_module": motion_at(1)},
             )(
                 deep_cache.astype(self.dtype), skips, temb, encoder_hidden_states,
                 pose_feature=pose_features[0] if self.decoder_add_posecond else None,
@@ -193,7 +203,7 @@ class UNet3D(nn.Module):
                     lora_scale=self.lora_scale,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                    **motion_kw,
+                    **{**motion_kw, "use_motion_module": motion_at(2**i)},
                 )(x, temb, encoder_hidden_states, pose_feature=pose_features[i], traj_feature=traj_features[i])
             else:  # plain DownBlock3D
                 x, outs = DownBlock3D(
@@ -202,7 +212,7 @@ class UNet3D(nn.Module):
                     add_downsample=False,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                    **motion_kw,
+                    **{**motion_kw, "use_motion_module": motion_at(2**i)},
                 )(
                     x,
                     temb,
@@ -236,7 +246,7 @@ class UNet3D(nn.Module):
                     add_upsample=not is_final,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                    **motion_kw,
+                    **{**motion_kw, "use_motion_module": motion_at(2 ** (n_blocks - 1 - i))},
                 )(x, skips, temb, pose_feature=pose_feat)
             else:
                 x = CrossAttnUpBlock3D(
@@ -249,7 +259,7 @@ class UNet3D(nn.Module):
                     lora_scale=self.lora_scale,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                    **motion_kw,
+                    **{**motion_kw, "use_motion_module": motion_at(2 ** (n_blocks - 1 - i))},
                 )(x, skips, temb, encoder_hidden_states, pose_feature=pose_feat)
             if i == n_blocks - 2:
                 deep = x  # up_blocks_2 output: the DeepCache cache point
@@ -271,6 +281,7 @@ def unet_config_from_yaml(unet_additional_kwargs: dict | None, lora_rank: int = 
     cfg = dict(
         use_motion_module=bool(kw.get("use_motion_module", False)),
         motion_module_mid_block=bool(kw.get("motion_module_mid_block", False)),
+        motion_module_resolutions=tuple(kw.get("motion_module_resolutions", (1, 2, 4, 8))),
         motion_num_heads=int(mm.get("num_attention_heads", 8)),
         motion_transformer_blocks=int(mm.get("num_transformer_block", 1)),
         motion_attention_blocks=len(mm.get("attention_block_types", ["Temporal_Self", "Temporal_Self"])),

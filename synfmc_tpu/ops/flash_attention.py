@@ -324,14 +324,23 @@ def _bwd_packed_single_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_re
         ).astype(dv_ref.dtype)
 
 
-# whole-sequence bwd VMEM budget: 7 bf16 blocks + fp32 softmax intermediates
-_BWD_SINGLE_MAX_SC = 24 * 1024 * 1024 // 22
+# whole-sequence bwd VMEM budget (bytes): 7 bf16 (Sq,C) blocks + fp32 softmax
+# intermediates over (Sq,C) ≈ 22 B/elem, PLUS the per-head (Sq,Sq)
+# intermediates _bwd_packed_single_kernel materializes (logits/pu/dp/ds fp32 +
+# puc/dsc bf16 ≈ 24 B/elem) — without the sq² term, shapes like sq=4096,c=160
+# pass the gate yet blow the 100MB vmem limit at compile time.  80MB keeps
+# the hot (1536,320) shape (~67MB) on this path under the 100MB vmem limit.
+_BWD_SINGLE_MAX_BYTES = 80 * 1024 * 1024
+
+
+def _bwd_single_fits(sq: int, c: int) -> bool:
+    return 22 * sq * c + 24 * sq * sq <= _BWD_SINGLE_MAX_BYTES
 
 
 def _bwd_packed(q2, k2, v2, do2, scale, heads, block_q, interpret=False):
     b, sq, c = q2.shape
     sk = k2.shape[1]
-    if sq == sk and sq * c <= _BWD_SINGLE_MAX_SC:
+    if sq == sk and _bwd_single_fits(sq, c):
         block = lambda: pl.BlockSpec((1, sq, c), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
         return pl.pallas_call(
             functools.partial(_bwd_packed_single_kernel, scale=scale, heads=heads, d=c // heads),

@@ -35,7 +35,7 @@ from synfmc_tpu.models.unet3d import UNet3D, unet_config_from_yaml
 from synfmc_tpu.models.vae import AutoencoderKL
 from synfmc_tpu.parallel import create_mesh, is_main_process, replicate, shard_batch
 from synfmc_tpu.training import checkpoint as ckpt
-from synfmc_tpu.training.optim import make_optimizer
+from synfmc_tpu.training.optim import make_lr_schedule, make_optimizer
 from synfmc_tpu.training.params import (
     count_params,
     merge_params,
@@ -163,10 +163,52 @@ def _real_path(p) -> bool:
     return bool(p) and os.path.exists(str(p))
 
 
+def _device_mem_str() -> str:
+    """' mem X.XXGB' for the periodic log line (torch.cuda.max_memory_allocated
+    analog, train_cam_ctrl.py:782); empty when the backend exposes no stats
+    (CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = (stats or {}).get("peak_bytes_in_use")
+        if peak:
+            return f" mem {peak / 2**30:.2f}GB"
+    except Exception:
+        pass
+    return ""
+
+
+def _is_placeholder(p) -> bool:
+    """The shipped configs carry '[path to ...]' placeholders — explicitly
+    not-a-path, skipped quietly (unlike a typo'd real path)."""
+    return str(p).strip().startswith("[")
+
+
 def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dict:
     """Load SD1.5 / AnimateDiff / previous-stage checkpoints when paths are
-    real."""
-    real = _real_path
+    real.
+
+    A configured-but-missing path is NEVER silent: a typo'd checkpoint path
+    would otherwise train from random init while looking healthy.  Missing
+    non-placeholder paths log at ERROR, and ``strict_pretrained: true``
+    makes them fatal (the right setting for real runs).
+    """
+    strict = bool(config.get("strict_pretrained", False))
+
+    def real(p) -> bool:
+        if not p:
+            return False
+        if _real_path(p):
+            return True
+        if _is_placeholder(p):
+            return False
+        msg = (
+            f"configured checkpoint path does not exist: {str(p)!r} — "
+            f"the affected weights stay at random init"
+        )
+        if strict:
+            raise FileNotFoundError(f"strict_pretrained: {msg}")
+        logger.error(msg + " (set strict_pretrained: true to make this fatal)")
+        return False
 
     sd_path = config.get("pretrained_model_path")
     if real(sd_path):
@@ -230,7 +272,9 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     if is_main_process():
         os.makedirs(run_dir, exist_ok=True)
         save_config(config, os.path.join(run_dir, "config.yaml"))
-    logger = setup_logger(run_dir if is_main_process() else None, jax.process_index())
+    # every process writes a log file: log.txt on rank 0, log.txt.rank{N}
+    # elsewhere (utils/util.py:108-116 parity) — worker-host logs must not vanish
+    logger = setup_logger(run_dir, jax.process_index())
     logger.info(f"stage={stage} run_dir={run_dir} devices={jax.device_count()}")
 
     # Device-side RNG (init, CFG dropouts, noise, timesteps) must be
@@ -264,6 +308,14 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         lr_warmup_steps=int(config.get("lr_warmup_steps", 0)),
         max_train_steps=max_steps,
         adam_weight_decay=float(config.get("adam_weight_decay", 1e-2)),
+    )
+    # host-side copy of the lr schedule for the periodic log line
+    # (train_cam_ctrl.py:781-788 logs lr + device memory)
+    lr_at = make_lr_schedule(
+        float(config.get("learning_rate", 1e-4)),
+        str(config.get("lr_scheduler", "constant")),
+        int(config.get("lr_warmup_steps", 0)),
+        max_steps,
     )
 
     step_cfg = StepConfig(
@@ -326,7 +378,10 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
     # data
-    tokenizer = load_tokenizer(config.get("pretrained_model_path"))
+    tokenizer = load_tokenizer(
+        config.get("pretrained_model_path"),
+        strict=bool(config.get("strict_pretrained", False)),
+    )
     null_ids = tokenizer([""])[0]
     dataset = dataset_cls(**train_data_cfg, seed=seed)
     loader = ShardedLoader(
@@ -334,7 +389,11 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         batch_size=int(config.get("train_batch_size", 1)),
         collate_fn=dataset_cls.collate_fn,
         num_workers=int(config.get("num_workers", 4)),
-        seed=seed,
+        # GLOBAL seed: the loader's epoch shuffle must be identical on every
+        # host so the stride slices partition the dataset (DistributedSampler
+        # semantics, train_cam_ctrl.py:342).  The loader adds its own
+        # process_index offset for worker/sample RNG.
+        seed=global_seed,
     )
 
     def to_device_batch(raw: dict) -> dict:
@@ -427,7 +486,9 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
             eta = (max_steps - global_step) * iter_time
             logger.info(
                 f"step {global_step}/{max_steps} loss {loss:.4f} "
-                f"data {data_time:.3f}s iter {iter_time:.3f}s eta {format_time(eta)}"
+                f"lr {float(lr_at(global_step - 1)):.2e} "
+                f"data {data_time:.3f}s iter {iter_time:.3f}s "
+                f"eta {format_time(eta)}{_device_mem_str()}"
             )
             metrics_out = {k: float(v) for k, v in metrics.items()}
         if ckpt_steps > 0 and global_step % ckpt_steps == 0 and is_main_process():

@@ -95,4 +95,12 @@ for i in range(2):
     psum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(state.trainable)))
     print(f"step {i} loss={loss:.6f} psum={psum:.6f}", flush=True)
 
+# per-rank log files: rank 0 writes log.txt, rank N writes log.txt.rankN
+# (utils/util.py:108-116 parity) — worker-host logs must not vanish
+from synfmc_tpu.utils.logger import setup_logger  # noqa: E402
+
+log_dir = os.environ.get("SYNFMC_TEST_LOG_DIR")
+if log_dir:
+    setup_logger(log_dir, pid).info(f"hello from rank {pid}")
+
 print(f"proc {pid} done", flush=True)

@@ -126,6 +126,60 @@ def test_sharded_loader(data_root):
     assert not (set(l0._epoch_indices()) & set(l1._epoch_indices()))
 
 
+def test_sharded_loader_shuffled_shards_are_disjoint_and_complete():
+    """DistributedSampler semantics: every host computes the SAME global
+    permutation (loader seeded with the global seed; train_cam_ctrl.py:342),
+    so the stride slices are a partition — disjoint and complete — for every
+    epoch.  Regression for the per-host-seed bug (shards overlapped/omitted
+    ~25% of samples at 2 hosts)."""
+
+    class _Range:
+        def __len__(self):
+            return 101  # odd on purpose: uneven shards
+
+    ds = _Range()
+    for epoch in (0, 1, 5):
+        shards = []
+        for rank in range(4):
+            l = ShardedLoader(ds, 1, lambda s: s, shuffle=True, seed=7,
+                              process_index=rank, process_count=4)
+            l.set_epoch(epoch)
+            shards.append(set(l._epoch_indices().tolist()))
+        union = set().union(*shards)
+        assert union == set(range(101)), f"epoch {epoch}: shards omit samples"
+        assert sum(len(s) for s in shards) == 101, f"epoch {epoch}: shards overlap"
+
+
+def test_worker_jax_poison_guard():
+    """A data worker that touches JAX must fail loudly, not hang
+    (fork-from-threaded-parent hazard; the numpy-only invariant is enforced
+    by _poison_jax_in_worker)."""
+    import multiprocessing as mp
+
+    import jax  # noqa: F401 — must be in sys.modules pre-fork for the poison
+
+    from synfmc_tpu.data.loader import _worker_loop
+
+    class _JaxTouchingDataset:
+        def __getitem__(self, i):
+            import jax
+
+            return jax.devices()
+
+        def __len__(self):
+            return 1
+
+    ctx = mp.get_context("fork")
+    job_q, out_q = ctx.Queue(), ctx.Queue()
+    job_q.put((0, np.array([0])))
+    job_q.put(None)
+    p = ctx.Process(target=_worker_loop,
+                    args=(_JaxTouchingDataset(), lambda s: s, job_q, out_q, 0))
+    p.start()
+    p.join(timeout=60)
+    assert p.exitcode not in (None, 0), "worker should have died loudly"
+
+
 def test_verb_morphology():
     from synfmc_tpu.data.captions import present_continuous, third_person_singular
 

@@ -106,9 +106,25 @@ def test_generate_cli_omc_trajectory(tmp_path):
             "--num-inference-steps", "2",
             "--omcm-ckpt", str(tmp_path / "omcm-step-0.ckpt"),
             "--obj-traj-npz", str(tmp_path / "traj.npz"),
-            "--out", str(out), "--cpu",
+            "--out", str(out), "--cpu", "--allow-untrained-cm",
         ],
         capture_output=True, text=True, env=env, cwd=repo, timeout=560,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists()
+
+    # without the explicit opt-out, stage-3 inference with no trained CMC
+    # checkpoint must fail fast (train_cam_obj_ctrl.py:280 parity)
+    res = subprocess.run(
+        [
+            sys.executable, "scripts/generate.py", "--config", str(cfg_path),
+            "--prompt", "a red robot walks", "--video-length", "4",
+            "--num-inference-steps", "2",
+            "--omcm-ckpt", str(tmp_path / "omcm-step-0.ckpt"),
+            "--obj-traj-npz", str(tmp_path / "traj.npz"),
+            "--out", str(out), "--cpu",
+        ],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=560,
+    )
+    assert res.returncode != 0
+    assert "CMC" in res.stderr or "pretrained_cm_path" in res.stderr

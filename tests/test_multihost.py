@@ -25,9 +25,10 @@ pytestmark = pytest.mark.e2e
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_data_parallel_stays_in_sync():
+def test_two_process_data_parallel_stays_in_sync(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets its own platform/flags
+    env["SYNFMC_TEST_LOG_DIR"] = str(tmp_path)
     port = "29517"
     procs = [
         subprocess.Popen(
@@ -50,3 +51,9 @@ def test_two_process_data_parallel_stays_in_sync():
     # replicas must agree exactly: same loss (global batch) and same updated
     # trainable checksum on both processes after every step
     assert lines[0] == lines[1], f"\nproc0: {lines[0]}\nproc1: {lines[1]}"
+
+    # per-rank log files (utils/util.py:108-116): rank 0 -> log.txt,
+    # rank 1 -> log.txt.rank1 — non-main logs must not vanish
+    assert (tmp_path / "log.txt").exists()
+    assert (tmp_path / "log.txt.rank1").exists()
+    assert "rank 1" in (tmp_path / "log.txt.rank1").read_text()

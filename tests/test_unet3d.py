@@ -110,3 +110,39 @@ def test_unet3d_pose_conditioning_active_after_training_step(rng):
     out0 = unet.apply({"params": params}, x, t, ctx, pose_features=[jnp.zeros_like(p) for p in pose])
     out1 = unet.apply({"params": params}, x, t, ctx, pose_features=pose)
     assert np.abs(np.asarray(out0) - np.asarray(out1)).max() > 1e-4
+
+
+def test_motion_module_resolutions_gating(rng):
+    """unet.py:154/178 (down: res=2**i) and 243/276 (up: res=2**(3-i)):
+    motion modules are inserted only at resolutions listed in
+    motion_module_resolutions.  Non-default value (1, 2) => motion modules
+    in down 0/1 and up 2/3 only; forward still runs."""
+    b, f, h, w = 1, 2, 16, 24
+    unet = UNet3D(use_motion_module=True, motion_module_resolutions=(1, 2), **TINY)
+    x = jnp.asarray(rng.normal(size=(b, f, h, w, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(b, 7, 48)).astype(np.float32))
+    t = jnp.array([321])
+    v = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+    p = v["params"]
+    for blk, expect in [
+        ("down_blocks_0", True), ("down_blocks_1", True),   # res 1, 2
+        ("down_blocks_2", False), ("down_blocks_3", False),  # res 4, 8
+        ("up_blocks_0", False), ("up_blocks_1", False),      # res 8, 4
+        ("up_blocks_2", True), ("up_blocks_3", True),        # res 2, 1
+    ]:
+        has = any(k.startswith("motion_modules") for k in p[blk])
+        assert has == expect, f"{blk}: motion module present={has}, expected {expect}"
+    out = unet.apply(v, x, t, ctx)
+    assert out.shape == (b, f, h, w, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_motion_module_resolutions_default_all(rng):
+    """Default (1,2,4,8) keeps a motion module in every block (shipped-config
+    parity, cam.yaml:89)."""
+    unet = UNet3D(use_motion_module=True, **TINY)
+    x = jnp.zeros((1, 2, 16, 24, 4))
+    v = unet.init(jax.random.PRNGKey(0), x, jnp.array([1]), jnp.zeros((1, 7, 48)))
+    p = v["params"]
+    for blk in [f"down_blocks_{i}" for i in range(4)] + [f"up_blocks_{i}" for i in range(4)]:
+        assert any(k.startswith("motion_modules") for k in p[blk]), blk
