@@ -264,7 +264,11 @@ def main():
             ctx_r, pose_features=pf_r,
         )
         args.activations = os.path.join(args.self_test, "acts.npz")
-        np.savez(
+        # shared writer with scripts/record_reference_acts.py: the self-test
+        # exercises the exact schema the reference-side recorder produces
+        from scripts.record_reference_acts import write_activation_npz
+
+        write_activation_npz(
             args.activations,
             latents=np.transpose(lat, (0, 4, 1, 2, 3)),
             timesteps=np.array([500]),

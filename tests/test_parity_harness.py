@@ -49,3 +49,29 @@ def test_parity_activation_compare(selftest):
     # torch-layout (B,C,F,h,w) npz recorded and compared through the real
     # --activations path; the self-match must clear the PSNR bar
     assert selftest["activations"]["eps_psnr"] >= 35.0, selftest["activations"]
+
+
+def test_recorder_schema_validation():
+    """scripts/record_reference_acts.py's npz writer enforces the schema
+    parity.py consumes — bad recordings fail on the reference side, not
+    after shipping the npz to the TPU side."""
+    import numpy as np
+
+    from scripts.record_reference_acts import write_activation_npz
+
+    b, f, hl, wl = 1, 4, 8, 16
+    lat = np.zeros((b, 4, f, hl, wl), np.float32)
+    ok = write_activation_npz(
+        "/tmp/_rec_schema_ok.npz", lat, np.array([500]),
+        np.zeros((b, 77), np.int32), lat,
+        plucker=np.zeros((b, 6, f, hl * 8, wl * 8), np.float32),
+    )
+    rec = np.load(ok)
+    assert set(rec.files) == {"latents", "timesteps", "input_ids", "eps", "plucker"}
+
+    with pytest.raises(ValueError, match="eps shape"):
+        write_activation_npz("/tmp/_rec_bad.npz", lat, np.array([500]),
+                             np.zeros((b, 77), np.int32), lat[:, :3])
+    with pytest.raises(ValueError, match="timesteps"):
+        write_activation_npz("/tmp/_rec_bad.npz", lat, np.array([500, 1]),
+                             np.zeros((b, 77), np.int32), lat)
