@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workers", type=int, default=min(8, os.cpu_count() or 1))
+    p.add_argument("--sweep", default=None, metavar="N,N,...",
+                   help="measure a worker-scaling curve (e.g. 1,2,4) instead of "
+                        "a single point; prints one JSON line per count")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--batches", type=int, default=6)
     p.add_argument("--frames", type=int, default=16)
@@ -59,39 +62,46 @@ def main():
         serial_s = (time.time() - t0) / 4
         print(f"# serial __getitem__: {serial_s * 1000:.0f} ms/sample", file=sys.stderr)
 
-        # (b) delivered loader throughput
-        loader = ShardedLoader(
-            ds, batch_size=args.batch_size,
-            collate_fn=UnrealTrajVideoDataset.collate_fn,
-            num_workers=args.workers, process_index=0, process_count=1,
-            drop_last=False,
-        )
-        n_needed = args.batches * args.batch_size
-        loader._epoch_indices = lambda: np.arange(n_needed) % len(ds)  # type: ignore
-        it = iter(loader)
-        next(it)  # warm the worker pool
-        t0 = time.time()
-        n = 0
-        for batch in it:
-            n += len(batch["captions"])
-        dt = time.time() - t0
-        sps = n / dt
+        # (b) delivered loader throughput (persistent worker pool)
+        def measure(workers: int):
+            loader = ShardedLoader(
+                ds, batch_size=args.batch_size,
+                collate_fn=UnrealTrajVideoDataset.collate_fn,
+                num_workers=workers, process_index=0, process_count=1,
+                drop_last=False,
+            )
+            n_needed = args.batches * args.batch_size
+            loader._epoch_indices = lambda: np.arange(n_needed) % len(ds)  # type: ignore
+            it = iter(loader)
+            next(it)  # warm the worker pool
+            t0 = time.time()
+            n = 0
+            for batch in it:
+                n += len(batch["captions"])
+            dt = time.time() - t0
+            loader.close()
+            return n / dt, n, dt
+
         budget = 8.0 / args.step_budget_s  # 8 samples per device step
         cores = os.cpu_count() or 1
         workers_for_2x = int(np.ceil(2 * budget * serial_s))
-        print(
-            f"# {n} samples in {dt:.2f}s, {args.workers} workers, {cores} cores; "
-            f"need {workers_for_2x} worker-cores for 2x headroom",
-            file=sys.stderr,
-        )
-        print(
-            '{"metric": "loader_samples_per_sec_16f_256x384", '
-            f'"value": {sps:.2f}, "unit": "samples/s", '
-            f'"serial_ms_per_sample": {serial_s * 1000:.0f}, '
-            f'"cores": {cores}, "workers": {args.workers}, '
-            f'"vs_step_budget": {sps / budget:.2f}, '
-            f'"workers_for_2x_headroom": {workers_for_2x}}}'
-        )
+        counts = ([int(x) for x in args.sweep.split(",")] if args.sweep
+                  else [args.workers])
+        for workers in counts:
+            sps, n, dt = measure(workers)
+            print(
+                f"# {n} samples in {dt:.2f}s, {workers} workers, {cores} cores; "
+                f"need {workers_for_2x} worker-cores for 2x headroom",
+                file=sys.stderr,
+            )
+            print(
+                '{"metric": "loader_samples_per_sec_16f_256x384", '
+                f'"value": {sps:.2f}, "unit": "samples/s", '
+                f'"serial_ms_per_sample": {serial_s * 1000:.0f}, '
+                f'"cores": {cores}, "workers": {workers}, '
+                f'"vs_step_budget": {sps / budget:.2f}, '
+                f'"workers_for_2x_headroom": {workers_for_2x}}}'
+            )
 
 
 if __name__ == "__main__":

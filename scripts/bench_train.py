@@ -123,11 +123,39 @@ def main():
         state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(100 + i))
         _ = float(metrics["loss"])  # force completion
         times.append(time.time() - t0)
+
+    # hardware-FLOPs utilization from XLA's cost analysis of the compiled
+    # step (single executable, no loop -> exact executed-FLOP count; remat
+    # recompute IS counted, so this is hw utilization, >= model-MFU)
+    extra = {}
+    try:
+        from bench import compiled_flops, peak_tflops  # repo-root bench.py helpers
+
+        lowered = jax.jit(
+            make_cam_train_step(models["unet"], models["pose_encoder"], models["vae"],
+                                models["text"], schedule, tx, step_cfg),
+        ).lower(state, frozen, make_batch(0), jax.random.PRNGKey(0))
+        fl = compiled_flops(lowered.compile())
+        if fl:
+            tflops_s = fl / min(times) / 1e12
+            extra["step_gflops"] = round(fl / 1e9, 1)
+            extra["tflops_per_s"] = round(tflops_s, 1)
+            peak = peak_tflops()
+            if peak:
+                extra["hw_util"] = round(tflops_s / peak, 3)
+            print(f"# hw util: {fl/1e9:.0f} GFLOP/step / {min(times):.3f}s = "
+                  f"{tflops_s:.1f} TFLOP/s"
+                  + (f" = {tflops_s/peak*100:.1f}% of {peak:.0f} peak" if peak else ""),
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# hw-util computation failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "stage2_cam_train_step_seconds_b1_16f_256x384",
         "value": round(min(times), 3),
         "unit": "s/step",
         "all_times": [round(t, 3) for t in times],
+        **extra,
     }))
 
 

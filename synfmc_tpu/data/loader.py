@@ -55,18 +55,30 @@ def _poison_jax_in_worker() -> None:
         pass  # best-effort guard; internals may move across JAX versions
 
 
-def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int) -> None:
+def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int,
+                 process_index: int = 0, worker_id: int = 0) -> None:
+    """Persistent worker: lives across epochs; jobs are (bi, batch_idx, epoch).
+
+    The worker reseeds the dataset RNG when the job's epoch changes — the
+    per-(host, epoch, worker) stream that per-epoch respawning used to
+    provide, without paying worker startup every epoch.
+    """
     _poison_jax_in_worker()
-    # per-worker RNG stream (torch DataLoader worker-seeding analog)
-    if hasattr(dataset, "rng") and isinstance(dataset.rng, random.Random):
-        dataset.rng = random.Random(seed)
+    cur_epoch = None
     while True:
         job = job_q.get()
         if job is None:
             return
-        bi, batch_idx = job
+        bi, batch_idx, epoch = job
+        if epoch != cur_epoch:
+            cur_epoch = epoch
+            # per-worker RNG stream (torch DataLoader worker-seeding analog);
+            # SeedSequence avoids (rank, epoch) arithmetic collisions
+            if hasattr(dataset, "rng") and isinstance(dataset.rng, random.Random):
+                ws = np.random.SeedSequence((seed, process_index, epoch, worker_id))
+                dataset.rng = random.Random(int(ws.generate_state(1)[0]))
         samples = [dataset[int(i)] for i in batch_idx]
-        out_q.put((bi, collate_fn(samples)))  # blocks when full: backpressure
+        out_q.put((bi, epoch, collate_fn(samples)))  # blocks when full: backpressure
 
 
 class ShardedLoader:
@@ -98,6 +110,9 @@ class ShardedLoader:
         self.drop_last = drop_last
         self.mp_context = mp_context
         self.epoch = 0
+        self._workers: list = []
+        self._job_q = None
+        self._out_q = None
 
     def set_epoch(self, epoch: int) -> None:
         """Per-epoch reshuffle (DistributedSampler.set_epoch parity,
@@ -129,19 +144,18 @@ class ShardedLoader:
     def __len__(self) -> int:
         return len(self._epoch_batches())
 
-    def __iter__(self) -> Iterator[dict]:
-        batches = self._epoch_batches()
-        if self.num_workers == 0:  # synchronous path (debug / tiny tests)
-            for batch_idx in batches:
-                yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+    def _ensure_workers(self) -> None:
+        """Start the PERSISTENT worker pool (once; reused across epochs —
+        per-epoch respawn wasted startup at small per-host epoch sizes)."""
+        if self._workers:
             return
-
         # mp-context tradeoff (measured, not theoretical):
         #  - "fork" (default, = torch DataLoader on Linux): dataset ships by
         #    COW, no pickling, and — crucially — no __main__ re-import.  JAX
         #    warns that forking a multithreaded parent can deadlock; workers
-        #    only run numpy/PIL code and never touch the device backend,
-        #    which is the same posture every torch/CUDA training stack runs.
+        #    only run numpy/PIL code and never touch the device backend
+        #    (enforced by _poison_jax_in_worker), the same posture every
+        #    torch/CUDA training stack runs.
         #  - "forkserver"/"spawn": avoid the fork-from-threads hazard but
         #    RE-IMPORT ``__main__`` in the children (standard spawn-family
         #    semantics), so any driver script without an
@@ -151,46 +165,66 @@ class ShardedLoader:
         ctx = mp.get_context(self.mp_context)
         if self.mp_context == "forkserver":
             ctx.set_forkserver_preload([])  # don't preload __main__ in the server
-        job_q = ctx.Queue()
-        out_q = ctx.Queue(maxsize=self.prefetch + self.num_workers)
-        for job in enumerate(batches):
-            job_q.put(job)
-        n_workers = min(self.num_workers, max(1, len(batches)))
-        for _ in range(n_workers):
-            job_q.put(None)
-        workers = [
+        self._job_q = ctx.Queue()
+        self._out_q = ctx.Queue(maxsize=self.prefetch + self.num_workers)
+        self._workers = [
             ctx.Process(
                 target=_worker_loop,
-                args=(self.dataset, self.collate_fn, job_q, out_q,
-                      # per-(host, epoch, worker) sample-RNG stream; collision-
-                      # free via SeedSequence (seed+epoch arithmetic collides
-                      # across (rank, epoch) pairs)
-                      int(np.random.SeedSequence(
-                          (self.seed, self.process_index, self.epoch, w)
-                      ).generate_state(1)[0])),
+                args=(self.dataset, self.collate_fn, self._job_q, self._out_q,
+                      self.seed, self.process_index, w),
                 daemon=True,
             )
-            for w in range(n_workers)
+            for w in range(self.num_workers)
         ]
-        for w in workers:
+        for w in self._workers:
             w.start()
 
-        reorder: dict[int, dict] = {}
-        try:
-            for want in range(len(batches)):
-                while want not in reorder:
-                    try:
-                        bi, batch = out_q.get(timeout=600)
-                    except queue.Empty:
-                        dead = [w.exitcode for w in workers if not w.is_alive()]
-                        raise RuntimeError(
-                            f"data workers stalled (exitcodes={dead})"
-                        ) from None
-                    reorder[bi] = batch
-                yield reorder.pop(want)
-        finally:
-            for w in workers:
-                if w.is_alive():
-                    w.terminate()
-            for w in workers:
+    def close(self) -> None:
+        """Stop the worker pool (idempotent; also runs at GC)."""
+        if not self._workers:
+            return
+        for _ in self._workers:
+            try:
+                self._job_q.put_nowait(None)
+            except Exception:
+                pass
+        for w in self._workers:
+            w.join(timeout=2)
+            if w.is_alive():
+                w.terminate()
                 w.join(timeout=5)
+        self._workers = []
+        self._job_q = self._out_q = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._epoch_batches()
+        if self.num_workers == 0:  # synchronous path (debug / tiny tests)
+            for batch_idx in batches:
+                yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+            return
+
+        self._ensure_workers()
+        epoch = self.epoch
+        for bi, batch_idx in enumerate(batches):
+            self._job_q.put((bi, batch_idx, epoch))
+
+        reorder: dict[int, dict] = {}
+        for want in range(len(batches)):
+            while want not in reorder:
+                try:
+                    bi, ep, batch = self._out_q.get(timeout=600)
+                except queue.Empty:
+                    dead = [w.exitcode for w in self._workers if not w.is_alive()]
+                    raise RuntimeError(
+                        f"data workers stalled (exitcodes={dead})"
+                    ) from None
+                if ep != epoch:
+                    continue  # stale result from an abandoned earlier iterator
+                reorder[bi] = batch
+            yield reorder.pop(want)

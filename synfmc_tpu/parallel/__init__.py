@@ -4,6 +4,16 @@ from synfmc_tpu.parallel.mesh import (
     is_main_process,
     replicate,
     shard_batch,
+    shard_over_fsdp,
+    state_shardings,
 )
 
-__all__ = ["create_mesh", "shard_batch", "replicate", "batch_sharding", "is_main_process"]
+__all__ = [
+    "create_mesh",
+    "shard_batch",
+    "replicate",
+    "batch_sharding",
+    "is_main_process",
+    "shard_over_fsdp",
+    "state_shardings",
+]

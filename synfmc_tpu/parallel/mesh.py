@@ -72,6 +72,51 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
 
 
+def shard_over_fsdp(tree: Any, mesh: Mesh, min_size: int = 1024) -> Any:
+    """ZeRO-1-style sharding: leaves split on their leading axis over the
+    ``fsdp`` mesh axis where divisible (and big enough to be worth it),
+    replicated otherwise.  Apply to trainable params AND optimizer state —
+    Adam's mu/nu trees mirror the param shapes, so the same rule shards them
+    identically, which is where the memory win is (SURVEY.md §2.6: "nearly
+    free under pjit").
+
+    With ``fsdp == 1`` this degenerates to plain replication (today's
+    single-axis data-parallel behavior, bit-for-bit).
+
+    Multi-process note: ``create_mesh`` lays devices out data-major, so with
+    whole hosts per data slice the fsdp groups stay intra-host and rank-0
+    checkpoint fetches remain fully addressable.
+    """
+    fsdp = mesh.shape.get("fsdp", 1)
+    if fsdp == 1:
+        return replicate(tree, mesh)
+    sh_f = NamedSharding(mesh, P("fsdp"))
+    sh_r = replicated(mesh)
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        if not hasattr(x, "shape"):
+            return x
+        sh = sh_f if (x.ndim >= 1 and x.shape[0] % fsdp == 0 and x.size >= min_size) else sh_r
+        if multiproc:
+            # device_put requires fully-addressable shardings; every process
+            # holds the full (identical) value, so slice it per device.
+            xh = np.asarray(x)
+            return jax.make_array_from_callback(xh.shape, sh, lambda idx: xh[idx])
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def state_shardings(state: Any) -> Any:
+    """Tree of the committed shardings of a (sharded) train state — used to
+    pin ``jit`` output shardings so ZeRO sharding persists across steps
+    instead of silently re-replicating."""
+    return jax.tree_util.tree_map(
+        lambda x: x.sharding if hasattr(x, "sharding") else None, state
+    )
+
+
 def is_main_process() -> bool:
     """Rank-0 guard (reference global_rank == 0 pattern)."""
     return jax.process_index() == 0

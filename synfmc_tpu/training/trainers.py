@@ -33,7 +33,16 @@ from synfmc_tpu.models.clip_text import CLIPTextModel
 from synfmc_tpu.models.pose_encoder import CameraPoseEncoder
 from synfmc_tpu.models.unet3d import UNet3D, unet_config_from_yaml
 from synfmc_tpu.models.vae import AutoencoderKL
-from synfmc_tpu.parallel import create_mesh, is_main_process, replicate, shard_batch
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from synfmc_tpu.parallel import (
+    create_mesh,
+    is_main_process,
+    replicate,
+    shard_batch,
+    shard_over_fsdp,
+    state_shardings,
+)
 from synfmc_tpu.training import checkpoint as ckpt
 from synfmc_tpu.training.optim import make_lr_schedule, make_optimizer
 from synfmc_tpu.training.params import (
@@ -372,10 +381,21 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     )
 
     state = init_train_state(trainable, tx)
-    mesh = create_mesh()
-    state = replicate(state, mesh)
+    # mesh knobs: `mesh: {data: N, fsdp: M}` in the YAML. fsdp > 1 shards
+    # trainable params + optimizer state ZeRO-1-style over that axis (frozen
+    # weights stay replicated — they have no optimizer state and are read-only)
+    mesh_cfg = dict(config.get("mesh") or {})
+    num_fsdp = int(mesh_cfg.get("fsdp", 1))
+    mesh = create_mesh(num_data=mesh_cfg.get("data"), num_fsdp=num_fsdp)
+    logger.info(f"mesh: {dict(mesh.shape)}")
+    state = shard_over_fsdp(state, mesh)
     frozen = replicate(frozen, mesh)
-    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    # pin output shardings so ZeRO sharding persists across steps instead of
+    # silently re-replicating (metrics are scalars -> replicated)
+    jit_step = jax.jit(
+        step_fn, donate_argnums=(0,),
+        out_shardings=(state_shardings(state), NamedSharding(mesh, P())),
+    )
 
     # data
     tokenizer = load_tokenizer(
@@ -422,7 +442,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         # restore_native works from an abstract template — the live state is
         # never fetched to host (gigabytes at full scale)
         state = ckpt.restore_native(str(resume_from), state)
-        state = replicate(state, mesh)
+        state = shard_over_fsdp(state, mesh)
         global_step = int(state.step)
         logger.info(f"resumed from {resume_from} at step {global_step}")
 

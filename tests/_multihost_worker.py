@@ -37,7 +37,13 @@ from synfmc_tpu.models.clip_text import CLIPTextModel  # noqa: E402
 from synfmc_tpu.models.pose_encoder import CameraPoseEncoder  # noqa: E402
 from synfmc_tpu.models.unet3d import UNet3D  # noqa: E402
 from synfmc_tpu.models.vae import AutoencoderKL  # noqa: E402
-from synfmc_tpu.parallel import create_mesh, replicate, shard_batch  # noqa: E402
+from synfmc_tpu.parallel import (  # noqa: E402
+    create_mesh,
+    replicate,
+    shard_batch,
+    shard_over_fsdp,
+    state_shardings,
+)
 from synfmc_tpu.training.optim import make_optimizer  # noqa: E402
 from synfmc_tpu.training.params import partition_params, stage2_cmc_unet_trainable  # noqa: E402
 from synfmc_tpu.training.steps import StepConfig, init_train_state, make_cam_train_step  # noqa: E402
@@ -68,14 +74,23 @@ tx = make_optimizer(1e-3)
 cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
 state = init_train_state({"unet": t_unet, "pose_encoder": pose_v["params"]}, tx)
 frozen = {"unet": f_unet, "vae": vae_v, "text": text_v}
-step = jax.jit(make_cam_train_step(unet, pose_enc, vae, text,
-                                   DiffusionSchedule.from_config(), tx, cfg))
-
 mesh = create_mesh(num_fsdp=2)  # ('data'=4, 'fsdp'=2) spanning both processes
-state = replicate(state, mesh)
+# PRODUCTION ZeRO-1 path: trainable + optimizer state sharded over 'fsdp'
+# (same shard_over_fsdp call as trainers.py), frozen replicated
+state = shard_over_fsdp(state, mesh)
 frozen = replicate(frozen, mesh)
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
+
+step = jax.jit(make_cam_train_step(unet, pose_enc, vae, text,
+                                   DiffusionSchedule.from_config(), tx, cfg),
+               out_shardings=(state_shardings(state), NamedSharding(mesh, PartitionSpec())))
 
 tok = HashTokenizer()
+# ONE jitted checksum over the whole tree: per-leaf jnp.sum on cross-process
+# sharded arrays would compile (and gloo-rendezvous) a tiny collective per
+# leaf per step — minutes of overhead on this 1-core box
+_checksum = jax.jit(lambda t: sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(t)))
+
 for i in range(2):
     # process-LOCAL batch: different data per "host", as per-host loaders give
     rng = np.random.default_rng(1000 * (pid + 1) + i)
@@ -92,8 +107,14 @@ for i in range(2):
     # step rng IDENTICAL across processes (replicated SPMD input)
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(7 + i))
     loss = float(metrics["loss"])
-    psum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(state.trainable)))
+    psum = float(_checksum(state.trainable))
     print(f"step {i} loss={loss:.6f} psum={psum:.6f}", flush=True)
+
+# ZeRO sharding must persist through the steps (out_shardings pin)
+big = [x for x in jax.tree_util.tree_leaves(state.trainable)
+       if hasattr(x, "sharding") and x.size >= 1024 and x.shape[0] % 2 == 0]
+assert big and all(x.sharding.spec == PartitionSpec("fsdp") for x in big), \
+    "fsdp sharding did not persist through the train step"
 
 # per-rank log files: rank 0 writes log.txt, rank N writes log.txt.rankN
 # (utils/util.py:108-116 parity) — worker-host logs must not vanish

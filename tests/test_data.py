@@ -171,13 +171,32 @@ def test_worker_jax_poison_guard():
 
     ctx = mp.get_context("fork")
     job_q, out_q = ctx.Queue(), ctx.Queue()
-    job_q.put((0, np.array([0])))
+    job_q.put((0, np.array([0]), 0))
     job_q.put(None)
     p = ctx.Process(target=_worker_loop,
                     args=(_JaxTouchingDataset(), lambda s: s, job_q, out_q, 0))
     p.start()
     p.join(timeout=60)
     assert p.exitcode not in (None, 0), "worker should have died loudly"
+
+
+def test_persistent_workers_across_epochs(data_root):
+    """The worker pool survives set_epoch + re-iteration (no per-epoch
+    respawn), and per-epoch reseeding still reshuffles the shard."""
+    ds = UnrealTrajVideoDataset(**data_root, sample_n_frames=4, sample_size=(64, 96),
+                                max_objects=3, seed=3)
+    loader = ShardedLoader(ds, 1, UnrealTrajVideoDataset.collate_fn,
+                           num_workers=2, process_index=0, process_count=1)
+    b0 = [b["captions"][0] for b in loader]
+    pids0 = sorted(w.pid for w in loader._workers)
+    loader.set_epoch(1)
+    b1 = [b["captions"][0] for b in loader]
+    pids1 = sorted(w.pid for w in loader._workers)
+    assert pids0 == pids1, "workers were respawned between epochs"
+    assert all(w.is_alive() for w in loader._workers)
+    assert len(b0) == len(b1) > 0
+    loader.close()
+    assert not loader._workers
 
 
 def test_verb_morphology():

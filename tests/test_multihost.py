@@ -39,7 +39,9 @@ def test_two_process_data_parallel_stays_in_sync(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=540)
+        # cold compile of the fsdp-sharded step across 2 procs on one core
+        # can take ~10 min; warm (.jax_cache_cpu) runs finish in ~2
+        out, err = p.communicate(timeout=1100)
         assert p.returncode == 0, err[-3000:]
         outs.append(out)
 

@@ -159,6 +159,54 @@ def test_stage2_sharded_over_mesh(cam_setup, rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_stage2_fsdp_sharded_matches_replicated(cam_setup, rng):
+    """ZeRO-1 over the fsdp axis (the production trainers.py path:
+    shard_over_fsdp + out_shardings pin) must (a) keep params+opt state
+    sharded across steps and (b) produce the same update as plain DP."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from synfmc_tpu.parallel import (
+        create_mesh, replicate, shard_batch, shard_over_fsdp, state_shardings,
+    )
+
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    tx = make_optimizer(1e-4)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+    state0 = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+    frozen0 = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    step_fn = make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg)
+
+    mesh = create_mesh(num_fsdp=2)  # (data=4, fsdp=2)
+    assert dict(mesh.shape) == {"data": 4, "fsdp": 2}
+    raw = _video_batch(rng, b=4)
+    batch = shard_batch(raw, mesh)
+    frozen = replicate(frozen0, mesh)
+
+    # DP reference: fully replicated state on the same mesh
+    rep_state = replicate(state0, mesh)
+    s_rep, m_rep = jax.jit(step_fn)(rep_state, frozen, batch, jax.random.PRNGKey(5))
+
+    # ZeRO: sharded state + pinned output shardings
+    sh_state = shard_over_fsdp(state0, mesh)
+    big = [x for x in jax.tree_util.tree_leaves(sh_state.trainable)
+           if x.size >= 1024 and x.shape[0] % 2 == 0]
+    assert big and all(x.sharding.spec == P("fsdp") for x in big)
+    jit_sh = jax.jit(step_fn, out_shardings=(state_shardings(sh_state), NamedSharding(mesh, P())))
+    s_sh, m_sh = jit_sh(sh_state, frozen, batch, jax.random.PRNGKey(5))
+
+    assert np.isfinite(float(m_sh["loss"]))
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_rep["loss"]), rtol=1e-5)
+    # sharding persisted through the step
+    big2 = [x for x in jax.tree_util.tree_leaves(s_sh.trainable)
+            if x.size >= 1024 and x.shape[0] % 2 == 0]
+    assert big2 and all(x.sharding.spec == P("fsdp") for x in big2)
+    # and the update is numerically the DP update
+    for a, b in zip(jax.tree_util.tree_leaves(s_sh.trainable),
+                    jax.tree_util.tree_leaves(s_rep.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
 def test_stage3_obj_step(cam_setup, rng):
     unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
     adapter = ObjectAdapter(channels=CHS)
