@@ -34,6 +34,10 @@ def main():
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--remat", choices=["full", "dots", "none"], default="none",
+                   help="gradient-checkpointing mode: none (the production "
+                        "default — fits b=1 full scale and is 17% faster), "
+                        "dots-saveable, or full recompute (min memory)")
     args = p.parse_args()
 
     from synfmc_tpu.config import load_config
@@ -54,7 +58,9 @@ def main():
         apply_masked_loss=True, invert_loss_mask=True,
         mask_loss_weight=float(config.get("mask_loss_weight", 1.0)),
         sd_loss_weight=float(config.get("sd_loss_weight", 0.6)),
-        sample_height=h, sample_width=w, remat=True,
+        sample_height=h, sample_width=w,
+        remat=args.remat != "none",
+        remat_policy=args.remat if args.remat != "none" else "full",
     )
 
     hl, wl = h // 8, w // 8
@@ -150,8 +156,9 @@ def main():
     except Exception as e:
         print(f"# hw-util computation failed: {e}", file=sys.stderr)
 
+    suffix = "" if args.remat == "none" else f"_remat_{args.remat}"
     print(json.dumps({
-        "metric": "stage2_cam_train_step_seconds_b1_16f_256x384",
+        "metric": f"stage2_cam_train_step_seconds_b1_16f_256x384{suffix}",
         "value": round(min(times), 3),
         "unit": "s/step",
         "all_times": [round(t, 3) for t in times],

@@ -40,6 +40,9 @@ def main():
     p.add_argument("--allow-untrained-cm", action="store_true",
                    help="bypass the stage-3 trained-CMC requirement (smoke tests "
                         "only; without it, --omcm-ckpt requires --cm-ckpt)")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard generation over an N-device 'data' mesh "
+                        "(prompt batch must divide N; params replicated)")
     p.add_argument("--deepcache", type=int, default=1, metavar="N",
                    help="DeepCache interval: deep UNet levels refresh every Nth "
                         "denoise step (1 = exact, >1 trades fidelity for speed)")
@@ -92,6 +95,12 @@ def main():
         )
 
     schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
+    mesh = None
+    if args.data_parallel:
+        from synfmc_tpu.parallel import create_mesh
+
+        mesh = create_mesh(num_data=args.data_parallel,
+                           devices=jax.devices()[: args.data_parallel])
     pipe = AnimationPipeline(
         unet=models["unet"], unet_params={"params": params["unet"]},
         vae=models["vae"], vae_params={"params": params["vae"]},
@@ -103,6 +112,7 @@ def main():
         pose_encoder_params={"params": params["pose_encoder"]} if "pose_encoder" in params else None,
         adapter=models.get("adapter"),
         adapter_params={"params": params.get("adapter")} if "adapter" in params else None,
+        mesh=mesh,
     )
 
     h, w = sample_size

@@ -49,6 +49,25 @@ class AnimationPipeline:
     pose_encoder_params: Any = None
     adapter: Any = None
     adapter_params: Any = None
+    # Optional jax.sharding.Mesh with a 'data' axis for multi-chip serving:
+    # batched inputs (latents/context/pose/traj) are sharded over 'data',
+    # params replicated — the serving-side analog of training DP (§2.6).
+    mesh: Any = None
+
+    def __post_init__(self):
+        if self.mesh is not None:
+            from synfmc_tpu.parallel import replicate
+
+            for name in ("unet_params", "vae_params", "text_params",
+                         "pose_encoder_params", "adapter_params"):
+                v = getattr(self, name)
+                if v is not None:
+                    setattr(self, name, replicate(v, self.mesh))
+
+    def _shard_data(self, x):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("data")))
 
     def encode_prompt(self, prompts, negative_prompts=None) -> jax.Array:
         """(2B, 77, hidden) text embeddings, uncond first (CFG batch)."""
@@ -113,6 +132,18 @@ class AnimationPipeline:
         pose_features = self.encode_pose(plucker) if plucker is not None else None
         if traj_features is not None:
             assert multidiff_total_steps == 1, "OMC requires multidiff_total_steps == 1 (cm_om.py:690)"
+
+        if self.mesh is not None:
+            ndata = self.mesh.shape["data"]
+            assert batch % ndata == 0, (
+                f"prompt batch {batch} must divide the mesh 'data' axis {ndata}"
+            )
+            latents = self._shard_data(latents)
+            context = self._shard_data(context)
+            if pose_features is not None:
+                pose_features = [self._shard_data(p) for p in pose_features]
+            if traj_features is not None:
+                traj_features = [self._shard_data(t) for t in traj_features]
 
         latents = denoise_loop(
             self.unet,

@@ -64,6 +64,11 @@ class StepConfig:
     # working version of the reference's NotImplementedError gradient
     # checkpointing branches (unet_blocks.py:379,508,663,789)
     remat: bool = False
+    # remat policy: "full" recomputes everything (min memory, ~+20% executed
+    # FLOPs); "dots" saves matmul outputs and recomputes the rest
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable — middle
+    # ground: attention/dense saved, convs/norms recomputed)
+    remat_policy: str = "full"
 
 
 def rt_to_c2w(rt: jax.Array) -> jax.Array:
@@ -97,7 +102,14 @@ def _select_text(rngs, batch, cfg: StepConfig):
 
 
 def _maybe_remat(apply_fn, cfg: StepConfig):
-    return jax.checkpoint(apply_fn) if cfg.remat else apply_fn
+    if not cfg.remat:
+        return apply_fn
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint(
+            apply_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    assert cfg.remat_policy == "full", f"unknown remat_policy {cfg.remat_policy!r}"
+    return jax.checkpoint(apply_fn)
 
 
 def make_lora_train_step(

@@ -340,6 +340,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         sample_height=sample_size[0],
         sample_width=sample_size[1],
         remat=bool(config.get("gradient_checkpointing", False)),
+        remat_policy=str(config.get("gradient_checkpointing_policy", "full")),
     )
 
     # trainable/frozen partition per stage (SURVEY.md §2.1)

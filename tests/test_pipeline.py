@@ -178,3 +178,27 @@ def test_denoise_loop_sharded_over_mesh(pipe):
     assert out.shape == (b, F, hl, wl, 4)
     assert out.sharding.spec == P("data")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_mesh_data_parallel_matches_single(pipe):
+    """AnimationPipeline(mesh=...) shards generation over the 'data' axis
+    (multi-chip serving); outputs must match the unsharded pipeline."""
+    import dataclasses
+
+    from synfmc_tpu.parallel import create_mesh
+
+    prompts = [f"a cat walks {i}" for i in range(8)]
+    rng = jax.random.PRNGKey(9)
+    ref = pipe(prompts, video_length=F, height=H, width=W,
+               num_inference_steps=2, rng=rng)
+
+    sharded_pipe = dataclasses.replace(pipe, mesh=create_mesh())
+    out = sharded_pipe(prompts, video_length=F, height=H, width=W,
+                       num_inference_steps=2, rng=rng)
+    assert out.shape == ref.shape == (8, F, H, W, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # batch not divisible by the data axis must fail loudly
+    with pytest.raises(AssertionError, match="divide the mesh"):
+        sharded_pipe(prompts[:3], video_length=F, height=H, width=W,
+                     num_inference_steps=1, rng=rng)

@@ -268,3 +268,29 @@ def test_stage2_overfits_one_batch(cam_setup, rng):
     # random UNet predicts most of the target), so expect a solid but not
     # dramatic drop — measured ~0.74x over 25 steps at this lr
     assert np.mean(losses[-5:]) < 0.85 * np.mean(losses[:5]), losses
+
+
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_stage2_remat_policies_compile_and_match(cam_setup, rng, policy):
+    """Remat modes must produce the SAME update as no-remat (checkpointing
+    changes memory/FLOPs, never math)."""
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    tx = make_optimizer(1e-4)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    batch = _video_batch(rng)
+
+    outs = []
+    for cfg in (StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W),
+                StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W,
+                           remat=True, remat_policy=policy)):
+        state = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+        step = jax.jit(make_cam_train_step(unet, pose_enc, vae, text,
+                                           DiffusionSchedule.from_config(), tx, cfg))
+        s2, m = step(state, frozen, batch, jax.random.PRNGKey(11))
+        outs.append((float(m["loss"]), s2.trainable))
+    assert np.isfinite(outs[0][0])
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
