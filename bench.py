@@ -219,6 +219,11 @@ def measured_weights_bench(unet, schedule, chs, xdim, b, f, hl, wl,
     }), file=sys.stderr)
 
 
+class _SkipMFU(Exception):
+    """MFU is reported for the exact path only (the opt-in caches skip work,
+    so the full-CFG FLOP count would overstate their utilization)."""
+
+
 def main():
     import argparse
 
@@ -226,6 +231,9 @@ def main():
     ap.add_argument("--deepcache", type=int, default=0, metavar="N",
                     help="time the pipeline denoise_loop with deepcache_interval=N "
                          "(opt-in accelerator; 0 = headline inline loop)")
+    ap.add_argument("--cfg-cache", type=int, default=0, metavar="N",
+                    help="time the pipeline denoise_loop with cfg_cache_interval=N "
+                         "(uncond CFG branch reused between refreshes; opt-in)")
     ap.add_argument("--measured-ckpt", default=None, metavar="PATH",
                     help="reference-layout bundle (cmcm/omcm/lora ckpt) to load "
                          "into the measured-weights variant instead of random init")
@@ -276,10 +284,10 @@ def main():
 
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
 
-    if cli.deepcache:
+    if cli.deepcache or cli.cfg_cache:
         # Opt-in path: time the ACTUAL pipeline denoise_loop (pipelines/
-        # animation.py) with DeepCache.  Pose/traj passed at batch B; the
-        # loop does the CFG duplication + uncond-zeroing itself.
+        # animation.py) with DeepCache / CFG-cache.  Pose/traj passed at
+        # batch B; the loop does the CFG duplication + uncond-zeroing itself.
         from synfmc_tpu.pipelines.animation import denoise_loop
 
         pose_b = [p[:b] for p in pose]
@@ -290,10 +298,13 @@ def main():
                 unet, params, schedule, latents, ctx,
                 pose_features=pose_b, traj_features=traj_b,
                 num_inference_steps=num_inference_steps,
-                deepcache_interval=cli.deepcache,
+                deepcache_interval=cli.deepcache or 1,
+                cfg_cache_interval=cli.cfg_cache or 1,
             )
 
-        metric = f"cfg_denoise_steps_per_sec_per_chip_16f_256x384_deepcache{cli.deepcache}"
+        tag = (f"_deepcache{cli.deepcache}" if cli.deepcache else "") + (
+            f"_cfgcache{cli.cfg_cache}" if cli.cfg_cache else "")
+        metric = f"cfg_denoise_steps_per_sec_per_chip_16f_256x384{tag}"
     else:
         metric = "cfg_denoise_steps_per_sec_per_chip_16f_256x384"
 
@@ -335,8 +346,12 @@ def main():
     # --- MFU: analytic FLOPs of ONE CFG forward via XLA cost analysis of a
     # SINGLE-forward executable (no while loop, so the count is exact — the
     # scan executable undercounts loop bodies), × measured steps/s.
+    # Exact path only: the opt-in caches skip work, so the full-CFG FLOP
+    # count would overstate their utilization.
     extra = {}
     try:
+        if cli.deepcache or cli.cfg_cache:
+            raise _SkipMFU
         fwd = jax.jit(lambda p, lat, c_, po, tr: unet.apply(
             p, lat, jnp.full((2 * b,), 500), c_, pose_features=po, traj_features=tr))
         lat2 = jnp.zeros((2 * b, f, hl, wl, 4), dtype)
@@ -355,12 +370,14 @@ def main():
                   + (f" = {tflops_s/peak*100:.1f}% of {peak:.0f} peak ({jax.devices()[0].device_kind})"
                      if peak else ""),
                   file=sys.stderr)
+    except _SkipMFU:
+        pass
     except Exception as e:  # MFU is informational; never fail the bench
         print(f"# MFU computation failed: {e}", file=sys.stderr)
 
     # second line on STDERR: pipeline loop with real-valued weights
     # (skippable for quick iterations; headline stdout line unchanged)
-    if not cli.deepcache and os.environ.get("BENCH_SKIP_MEASURED", "0") != "1":
+    if not (cli.deepcache or cli.cfg_cache) and os.environ.get("BENCH_SKIP_MEASURED", "0") != "1":
         try:
             measured_weights_bench(unet, schedule, chs, xdim, b, f, hl, wl,
                                    num_inference_steps, dtype,

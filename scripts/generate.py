@@ -46,6 +46,10 @@ def main():
     p.add_argument("--deepcache", type=int, default=1, metavar="N",
                    help="DeepCache interval: deep UNet levels refresh every Nth "
                         "denoise step (1 = exact, >1 trades fidelity for speed)")
+    p.add_argument("--cfg-cache", type=int, default=1, metavar="N",
+                   help="CFG-cache interval: recompute the uncond CFG branch "
+                        "every Nth step only (1 = exact; mutually exclusive "
+                        "with --deepcache > 1)")
     args = p.parse_args()
 
     import jax
@@ -158,6 +162,7 @@ def main():
         plucker=plucker, traj_features=traj_features,
         omcm_min_step=int(config.get("omcm_min_step", 700)),
         deepcache_interval=args.deepcache,
+        cfg_cache_interval=args.cfg_cache,
     )
     save_videos_grid(np.asarray(video), args.out)
     print(f"wrote {args.out}")

@@ -202,3 +202,49 @@ def test_pipeline_mesh_data_parallel_matches_single(pipe):
     with pytest.raises(AssertionError, match="divide the mesh"):
         sharded_pipe(prompts[:3], video_length=F, height=H, width=W,
                      num_inference_steps=1, rng=rng)
+
+
+def test_cfg_cache_matches_hand_rolled_reference(pipe):
+    """cfg_cache_interval=2 must equal a hand-rolled loop that runs the full
+    CFG pair on even steps and only the cond branch (reusing the cached
+    uncond eps) on odd steps."""
+    steps = 4
+    rng = jax.random.PRNGKey(15)
+    lat_cached = pipe(
+        ["x"], video_length=F, height=H, width=W, num_inference_steps=steps,
+        rng=rng, cfg_cache_interval=2, decode=False,
+    )
+
+    schedule = pipe.schedule
+    unet, params = pipe.unet, pipe.unet_params
+    context = pipe.encode_prompt(["x"])
+    ctx_cond = context[1:]
+    hl, wl = H // 8, W // 8
+    latents = jax.random.normal(rng, (1, F, hl, wl, 4), jnp.float32) * schedule.init_noise_sigma
+    uncond = None
+    for idx, t in enumerate(np.asarray(schedule.ddim_timesteps(steps))):
+        if idx % 2 == 0:
+            latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+            eps = unet.apply(params, latent_in, jnp.full((2,), t), context)
+            uncond, cond = jnp.split(eps, 2, axis=0)
+        else:
+            cond = unet.apply(params, latents.astype(unet.dtype), jnp.full((1,), t), ctx_cond)
+        eps_cfg = uncond + 8.0 * (cond - uncond)
+        latents = schedule.ddim_step(eps_cfg, t, latents, steps)
+
+    np.testing.assert_allclose(np.asarray(lat_cached), np.asarray(latents), rtol=2e-4, atol=1e-3)
+    assert np.isfinite(np.asarray(lat_cached)).all()
+
+
+def test_cfg_cache_differs_from_exact_but_close(pipe):
+    """Interval > 1 is approximate (the uncond branch is stale on cache
+    steps): output differs from the exact path, but stays in the same range."""
+    steps = 4
+    rng = jax.random.PRNGKey(16)
+    kw = dict(video_length=F, height=H, width=W, num_inference_steps=steps,
+              rng=rng, decode=False)
+    exact = pipe(["y"], **kw)
+    cached = pipe(["y"], cfg_cache_interval=2, **kw)
+    diff = np.abs(np.asarray(exact) - np.asarray(cached)).max()
+    assert diff > 1e-7, "cache interval had no effect — uncond never reused"
+    assert np.isfinite(np.asarray(cached)).all()
