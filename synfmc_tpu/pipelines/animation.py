@@ -213,6 +213,10 @@ def denoise_loop(
     uncond epsilon drifts slowly across adjacent DDIM steps), so cache steps
     run the UNet at batch B instead of 2B — ~1.3x at interval 2.  Opt-in and
     approximate, like DeepCache; both lax.cond branches are static shapes.
+
+    Setting BOTH intervals (equal) composes them: refresh steps run the full
+    2B forward re-recording both caches; every other step runs only the
+    shallow UNet level on the cond branch.
     """
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
     stride = window_length - multidiff_overlaps
@@ -239,9 +243,61 @@ def denoise_loop(
         uncond, cond = jnp.split(eps, 2, axis=0)
         return uncond + guidance_scale * (cond - uncond)
 
+    if cfg_cache_interval > 1 and deepcache_interval > 1:
+        # Combined "turbo" mode: both caches refresh together every Nth step
+        # (a full 2B forward that re-records the deep features and the uncond
+        # eps); every other step runs only the SHALLOW UNet level on the COND
+        # branch — the cheapest possible approximate step.
+        assert multidiff_total_steps == 1, "cache modes require multidiff_total_steps == 1"
+        assert cfg_cache_interval == deepcache_interval, (
+            "combined CFG-cache x DeepCache uses one shared refresh interval — "
+            "set both to the same value"
+        )
+        k = cfg_cache_interval
+        b = latents.shape[0]
+        ctx_cond = context[b:]
+        f_total, h_lat, w_lat = latents.shape[1:4]
+        deep_ch = list(reversed(unet.block_out_channels))[2]
+
+        def turbo_body(carry, xs):
+            latents, deep, uncond_prev = carry
+            t, idx = xs
+            gate = (t >= omcm_min_step).astype(unet.dtype)
+
+            def refresh(_):
+                latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+                traj_t = [tr * gate for tr in traj_cfg] if traj_cfg is not None else None
+                eps, deep_new = unet.apply(
+                    unet_params, latent_in, jnp.full((2 * b,), t), context,
+                    pose_features=pose_cfg, traj_features=traj_t, return_deep=True,
+                )
+                uncond, cond = jnp.split(eps, 2, axis=0)
+                return uncond, cond, deep_new
+
+            def cached(_):
+                traj_t = [tr * gate for tr in traj_features] if traj_features is not None else None
+                cond = unet.apply(
+                    unet_params, latents.astype(unet.dtype), jnp.full((b,), t), ctx_cond,
+                    pose_features=pose_features, traj_features=traj_t,
+                    deep_cache=deep[b:],
+                )
+                return uncond_prev, cond, deep
+
+            uncond, cond, deep = jax.lax.cond(idx % k == 0, refresh, cached, None)
+            eps_cfg = uncond + guidance_scale * (cond - uncond)
+            latents = schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)
+            return (latents, deep, uncond), None
+
+        deep0 = jnp.zeros((2 * b, f_total, h_lat, w_lat, deep_ch), unet.dtype)
+        uncond0 = jnp.zeros(latents.shape, unet.dtype)  # idx 0 always refreshes
+        (latents, _, _), _ = jax.lax.scan(
+            turbo_body, (latents, deep0, uncond0),
+            (timesteps, jnp.arange(timesteps.shape[0])),
+        )
+        return latents
+
     if cfg_cache_interval > 1:
         assert multidiff_total_steps == 1, "CFG-cache requires multidiff_total_steps == 1"
-        assert deepcache_interval == 1, "CFG-cache does not compose with DeepCache (pick one)"
         b = latents.shape[0]
         ctx_cond = context[b:]
 

@@ -248,3 +248,44 @@ def test_cfg_cache_differs_from_exact_but_close(pipe):
     diff = np.abs(np.asarray(exact) - np.asarray(cached)).max()
     assert diff > 1e-7, "cache interval had no effect — uncond never reused"
     assert np.isfinite(np.asarray(cached)).all()
+
+
+def test_turbo_cache_matches_hand_rolled_reference(pipe):
+    """cfg_cache_interval == deepcache_interval == 2 composes both caches:
+    even steps run the full 2B forward (re-recording deep + uncond), odd
+    steps run only the shallow level on the cond branch."""
+    steps = 4
+    rng = jax.random.PRNGKey(17)
+    lat_turbo = pipe(
+        ["x"], video_length=F, height=H, width=W, num_inference_steps=steps,
+        rng=rng, cfg_cache_interval=2, deepcache_interval=2, decode=False,
+    )
+
+    schedule = pipe.schedule
+    unet, params = pipe.unet, pipe.unet_params
+    context = pipe.encode_prompt(["x"])
+    ctx_cond = context[1:]
+    hl, wl = H // 8, W // 8
+    latents = jax.random.normal(rng, (1, F, hl, wl, 4), jnp.float32) * schedule.init_noise_sigma
+    uncond = deep = None
+    for idx, t in enumerate(np.asarray(schedule.ddim_timesteps(steps))):
+        if idx % 2 == 0:
+            latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+            eps, deep = unet.apply(params, latent_in, jnp.full((2,), t), context,
+                                   return_deep=True)
+            uncond, cond = jnp.split(eps, 2, axis=0)
+        else:
+            cond = unet.apply(params, latents.astype(unet.dtype), jnp.full((1,), t),
+                              ctx_cond, deep_cache=deep[1:])
+        eps_cfg = uncond + 8.0 * (cond - uncond)
+        latents = schedule.ddim_step(eps_cfg, t, latents, steps)
+
+    np.testing.assert_allclose(np.asarray(lat_turbo), np.asarray(latents), rtol=2e-4, atol=1e-3)
+    assert np.isfinite(np.asarray(lat_turbo)).all()
+
+
+def test_turbo_cache_requires_equal_intervals(pipe):
+    with pytest.raises(AssertionError, match="shared refresh interval"):
+        pipe(["x"], video_length=F, height=H, width=W, num_inference_steps=2,
+             rng=jax.random.PRNGKey(0), cfg_cache_interval=2, deepcache_interval=3,
+             decode=False)
