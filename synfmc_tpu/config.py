@@ -101,3 +101,10 @@ def save_config(cfg: Mapping[str, Any], path: str) -> None:
     cfg = cfg.to_dict() if isinstance(cfg, ConfigDict) else dict(cfg)
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
+
+
+def is_placeholder_path(p) -> bool:
+    """True for the shipped configs' '[path to ...]' placeholder strings —
+    explicitly not-a-path, skipped quietly everywhere (unlike a typo'd real
+    path, which must fail loud)."""
+    return str(p).strip().startswith("[")

@@ -51,8 +51,13 @@ def load_tokenizer(pretrained_path: str | None = None, strict: bool = False):
     The fallback is LOUD: a run pointed at a slightly-wrong SD path would
     otherwise train on hash tokens and produce garbage conditioning while
     looking healthy.  ``strict=True`` (config ``strict_pretrained``) makes
-    the fallback fatal — the right setting for any real run.
+    the fallback fatal — the right setting for any real run.  '[path to
+    ...]' placeholders count as no-path (quiet), matching load_pretrained.
     """
+    from synfmc_tpu.config import is_placeholder_path
+
+    if pretrained_path and is_placeholder_path(pretrained_path):
+        pretrained_path = None
     if pretrained_path:
         tok_dir = os.path.join(pretrained_path, "tokenizer")
         target = tok_dir if os.path.isdir(tok_dir) else pretrained_path

@@ -243,142 +243,96 @@ def denoise_loop(
         uncond, cond = jnp.split(eps, 2, axis=0)
         return uncond + guidance_scale * (cond - uncond)
 
-    if cfg_cache_interval > 1 and deepcache_interval > 1:
-        # Combined "turbo" mode: both caches refresh together every Nth step
-        # (a full 2B forward that re-records the deep features and the uncond
-        # eps); every other step runs only the SHALLOW UNet level on the COND
-        # branch — the cheapest possible approximate step.
+    use_deep = deepcache_interval > 1
+    use_cfg = cfg_cache_interval > 1
+    if use_deep or use_cfg:
+        # One parameterized cached-scan body serves all three opt-in modes
+        # (DeepCache / CFG-cache / combined "turbo"): refresh steps run the
+        # full 2B forward (re-recording whichever caches are enabled); cache
+        # steps reuse them — shallow-only when use_deep, cond-branch-only at
+        # batch B when use_cfg, both when combined.
         assert multidiff_total_steps == 1, "cache modes require multidiff_total_steps == 1"
-        assert cfg_cache_interval == deepcache_interval, (
-            "combined CFG-cache x DeepCache uses one shared refresh interval — "
-            "set both to the same value"
-        )
-        k = cfg_cache_interval
+        if use_deep and use_cfg:
+            assert cfg_cache_interval == deepcache_interval, (
+                "combined CFG-cache x DeepCache uses one shared refresh interval — "
+                "set both to the same value"
+            )
+        k = max(deepcache_interval, cfg_cache_interval)
         b = latents.shape[0]
         ctx_cond = context[b:]
         f_total, h_lat, w_lat = latents.shape[1:4]
         deep_ch = list(reversed(unet.block_out_channels))[2]
+        # deep cache carried at batch B (cond half only) under CFG-caching —
+        # the uncond half would be dead carry state
+        deep_b = b if use_cfg else 2 * b
 
-        def turbo_body(carry, xs):
-            latents, deep, uncond_prev = carry
+        def cache_body(carry, xs):
+            latents = carry["latents"]
             t, idx = xs
             gate = (t >= omcm_min_step).astype(unet.dtype)
+            traj_full = [tr * gate for tr in traj_cfg] if traj_cfg is not None else None
 
             def refresh(_):
                 latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
-                traj_t = [tr * gate for tr in traj_cfg] if traj_cfg is not None else None
-                eps, deep_new = unet.apply(
-                    unet_params, latent_in, jnp.full((2 * b,), t), context,
-                    pose_features=pose_cfg, traj_features=traj_t, return_deep=True,
-                )
+                t_vec = jnp.full((2 * b,), t)
+                if use_deep:
+                    eps, deep_new = unet.apply(
+                        unet_params, latent_in, t_vec, context,
+                        pose_features=pose_cfg, traj_features=traj_full, return_deep=True,
+                    )
+                else:
+                    eps = unet.apply(
+                        unet_params, latent_in, t_vec, context,
+                        pose_features=pose_cfg, traj_features=traj_full,
+                    )
                 uncond, cond = jnp.split(eps, 2, axis=0)
-                return uncond, cond, deep_new
+                out = {"uncond": uncond, "cond": cond}
+                if use_deep:
+                    out["deep"] = deep_new[b:] if use_cfg else deep_new
+                return out
 
             def cached(_):
-                traj_t = [tr * gate for tr in traj_features] if traj_features is not None else None
-                cond = unet.apply(
-                    unet_params, latents.astype(unet.dtype), jnp.full((b,), t), ctx_cond,
-                    pose_features=pose_features, traj_features=traj_t,
-                    deep_cache=deep[b:],
-                )
-                return uncond_prev, cond, deep
+                deep = carry.get("deep")
+                if use_cfg:
+                    # cond branch only at batch B; uncond reused from the carry
+                    traj_t = [tr * gate for tr in traj_features] if traj_features is not None else None
+                    cond = unet.apply(
+                        unet_params, latents.astype(unet.dtype), jnp.full((b,), t), ctx_cond,
+                        pose_features=pose_features, traj_features=traj_t,
+                        deep_cache=deep,
+                    )
+                    out = {"uncond": carry["uncond"], "cond": cond}
+                else:
+                    # full CFG pair, shallow level only (DeepCache)
+                    latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+                    eps = unet.apply(
+                        unet_params, latent_in, jnp.full((2 * b,), t), context,
+                        pose_features=pose_cfg, traj_features=traj_full, deep_cache=deep,
+                    )
+                    uncond, cond = jnp.split(eps, 2, axis=0)
+                    out = {"uncond": uncond, "cond": cond}
+                if use_deep:
+                    out["deep"] = deep
+                return out
 
-            uncond, cond, deep = jax.lax.cond(idx % k == 0, refresh, cached, None)
-            eps_cfg = uncond + guidance_scale * (cond - uncond)
-            latents = schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)
-            return (latents, deep, uncond), None
+            res = jax.lax.cond(idx % k == 0, refresh, cached, None)
+            eps_cfg = res["uncond"] + guidance_scale * (res["cond"] - res["uncond"])
+            new_carry = {"latents": schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)}
+            if use_deep:
+                new_carry["deep"] = res["deep"]
+            if use_cfg:
+                new_carry["uncond"] = res["uncond"]
+            return new_carry, None
 
-        deep0 = jnp.zeros((2 * b, f_total, h_lat, w_lat, deep_ch), unet.dtype)
-        uncond0 = jnp.zeros(latents.shape, unet.dtype)  # idx 0 always refreshes
-        (latents, _, _), _ = jax.lax.scan(
-            turbo_body, (latents, deep0, uncond0),
-            (timesteps, jnp.arange(timesteps.shape[0])),
+        carry0 = {"latents": latents}
+        if use_deep:
+            carry0["deep"] = jnp.zeros((deep_b, f_total, h_lat, w_lat, deep_ch), unet.dtype)
+        if use_cfg:
+            carry0["uncond"] = jnp.zeros(latents.shape, unet.dtype)  # idx 0 always refreshes
+        carry, _ = jax.lax.scan(
+            cache_body, carry0, (timesteps, jnp.arange(timesteps.shape[0]))
         )
-        return latents
-
-    if cfg_cache_interval > 1:
-        assert multidiff_total_steps == 1, "CFG-cache requires multidiff_total_steps == 1"
-        b = latents.shape[0]
-        ctx_cond = context[b:]
-
-        def cfg_body(carry, xs):
-            latents, uncond_prev = carry
-            t, idx = xs
-            gate = (t >= omcm_min_step).astype(unet.dtype)
-
-            def refresh(_):
-                # full CFG pair at batch 2B (the exact step)
-                latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
-                traj_t = [tr * gate for tr in traj_cfg] if traj_cfg is not None else None
-                eps = unet.apply(
-                    unet_params, latent_in, jnp.full((2 * b,), t), context,
-                    pose_features=pose_cfg, traj_features=traj_t,
-                )
-                uncond, cond = jnp.split(eps, 2, axis=0)
-                return uncond, cond
-
-            def cached(_):
-                # cond branch only at batch B; uncond reused from the carry
-                latent_in = latents.astype(unet.dtype)
-                traj_t = [tr * gate for tr in traj_features] if traj_features is not None else None
-                cond = unet.apply(
-                    unet_params, latent_in, jnp.full((b,), t), ctx_cond,
-                    pose_features=pose_features, traj_features=traj_t,
-                )
-                return uncond_prev, cond
-
-            uncond, cond = jax.lax.cond(idx % cfg_cache_interval == 0, refresh, cached, None)
-            eps_cfg = uncond + guidance_scale * (cond - uncond)
-            latents = schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)
-            return (latents, uncond), None
-
-        uncond0 = jnp.zeros(latents.shape, unet.dtype)  # idx 0 always refreshes
-        (latents, _), _ = jax.lax.scan(
-            cfg_body, (latents, uncond0),
-            (timesteps, jnp.arange(timesteps.shape[0])),
-        )
-        return latents
-
-    if deepcache_interval > 1:
-        assert multidiff_total_steps == 1, "DeepCache requires multidiff_total_steps == 1"
-
-        def cached_body(carry, xs):
-            latents, deep = carry
-            t, idx = xs
-            latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
-            traj_t = None
-            if traj_cfg is not None:
-                gate = (t >= omcm_min_step).astype(latent_in.dtype)
-                traj_t = [tr * gate for tr in traj_cfg]
-            t_vec = jnp.full((latent_in.shape[0],), t)
-
-            def full_step(_):
-                return unet.apply(
-                    unet_params, latent_in, t_vec, context,
-                    pose_features=pose_cfg, traj_features=traj_t, return_deep=True,
-                )
-
-            def shallow_step(_):
-                eps = unet.apply(
-                    unet_params, latent_in, t_vec, context,
-                    pose_features=pose_cfg, traj_features=traj_t, deep_cache=deep,
-                )
-                return eps, deep
-
-            eps, deep = jax.lax.cond(idx % deepcache_interval == 0, full_step, shallow_step, None)
-            uncond, cond = jnp.split(eps, 2, axis=0)
-            eps_cfg = uncond + guidance_scale * (cond - uncond)
-            latents = schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)
-            return (latents, deep), None
-
-        b, f_total, h_lat, w_lat = latents.shape[:4]
-        deep_ch = list(reversed(unet.block_out_channels))[2]
-        deep0 = jnp.zeros((2 * b, f_total, h_lat, w_lat, deep_ch), unet.dtype)
-        (latents, _), _ = jax.lax.scan(
-            cached_body, (latents, deep0),
-            (timesteps, jnp.arange(timesteps.shape[0])),
-        )
-        return latents
+        return carry["latents"]
 
     def body(latents, t):
         if multidiff_total_steps == 1:

@@ -186,10 +186,7 @@ def _device_mem_str() -> str:
     return ""
 
 
-def _is_placeholder(p) -> bool:
-    """The shipped configs carry '[path to ...]' placeholders — explicitly
-    not-a-path, skipped quietly (unlike a typo'd real path)."""
-    return str(p).strip().startswith("[")
+from synfmc_tpu.config import is_placeholder_path as _is_placeholder
 
 
 def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dict:
