@@ -94,6 +94,94 @@ class DiffusionSchedule:
         ts = (np.arange(num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
         return ts + self.steps_offset
 
+    # ---- DPM-Solver++(2M) inference (beyond-reference opt-in) ----
+
+    def dpmpp_2m_tables(self, num_inference_steps: int) -> dict:
+        """Per-step coefficient tables for deterministic DPM-Solver++(2M)
+        (Lu et al., arXiv:2211.01095), data-prediction formulation.
+
+        The reference samples with 25-step DDIM only; DPM-Solver++ is a
+        second-order multistep ODE solver over the same probability-flow
+        trajectory, reaching comparable sample quality in roughly half the
+        steps — an opt-in serving lever with zero per-step overhead (the
+        update is still a handful of fused axpys).
+
+        Nodes are this schedule's own DDIM timestep table (``ddim_timesteps``
+        'leading' spacing, NOT diffusers' DPM 'linspace' default) so the
+        step-count semantics and the OMC ``t >= omcm_min_step`` gating
+        (pipeline_animation_cm_om.py:680-685) are identical across solvers.
+
+        With alpha_i = sqrt(abar), sigma_i = sqrt(1-abar),
+        lambda_i = log(alpha_i/sigma_i), h_i = lambda_{i+1} - lambda_i and
+        m_i the x0-prediction at node i, the update from node i to i+1 is
+
+            x_{i+1} = c_sample[i] x_i + c_d0[i] m_i + c_d1[i] (m_i - m_{i-1})
+
+        where c_sample = sigma_{i+1}/sigma_i, c_d0 = -alpha_{i+1}(e^{-h_i}-1),
+        c_d1 = 0.5 c_d0 · h_i/h_{i-1}.  c_d1 is zeroed at the first step (no
+        m_{-1}; first-order warm-up) and at the last step (lower-order-final —
+        the standard guard for the sigma→0 endpoint).  The final node has
+        sigma=0 exactly (set_alpha_to_one), so the last update degenerates to
+        x = m_i, the clean data prediction.  All tables are float64 on host;
+        the traced update is pure gathers + axpys.
+        """
+        ts = self.ddim_timesteps(num_inference_steps)
+        abar = self.alphas_cumprod
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        prev_ts = ts - step_ratio
+
+        alpha = np.sqrt(abar[ts])
+        sigma = np.sqrt(1.0 - abar[ts])
+        lam = np.log(alpha) - np.log(sigma)
+
+        abar_final = 1.0 if self.set_alpha_to_one else float(abar[0])
+        abar_next = np.where(prev_ts >= 0, abar[np.maximum(prev_ts, 0)], abar_final)
+        alpha_next = np.sqrt(abar_next)
+        sigma_next = np.sqrt(1.0 - abar_next)
+        with np.errstate(divide="ignore"):
+            lam_next = np.log(alpha_next) - np.log(sigma_next)  # +inf at sigma=0
+
+        h = lam_next - lam  # > 0; +inf on the final step when sigma_next == 0
+        with np.errstate(over="ignore"):
+            phi = np.expm1(-h)  # in (-1, 0]; exactly -1 on the final step
+        c_sample = sigma_next / sigma
+        c_d0 = -alpha_next * phi
+        n = len(ts)
+        c_d1 = np.zeros(n)
+        if n > 2:
+            # h_{i-1} = lam[i] - lam[i-1]; first and last steps stay first-order
+            h_prev = lam[1:] - lam[:-1]
+            c_d1[1 : n - 1] = 0.5 * c_d0[1 : n - 1] * h[1 : n - 1] / h_prev[: n - 2]
+        return {
+            "c_to_x0_x": 1.0 / alpha,  # m_i = c_to_x0_x·x + c_to_x0_eps·eps
+            "c_to_x0_eps": -sigma / alpha,
+            "c_sample": c_sample,
+            "c_d0": c_d0,
+            "c_d1": c_d1,
+        }
+
+    def dpmpp_2m_step(
+        self,
+        model_eps: jax.Array,
+        idx: jax.Array,
+        sample: jax.Array,
+        m_prev: jax.Array,
+        tables: dict,
+    ) -> tuple[jax.Array, jax.Array]:
+        """One DPM-Solver++(2M) update at scan position ``idx``.
+
+        Returns ``(x_next, m_i)`` — the caller carries ``m_i`` into the next
+        step as ``m_prev`` (zeros at idx 0; its coefficient is 0 there).
+        """
+        eps32 = model_eps.astype(jnp.float32)
+        x32 = sample.astype(jnp.float32)
+        g = lambda k: jnp.asarray(tables[k], dtype=jnp.float32)[idx]
+        m0 = g("c_to_x0_x") * x32 + g("c_to_x0_eps") * eps32
+        if self.clip_sample:
+            m0 = jnp.clip(m0, -1.0, 1.0)
+        x_next = g("c_sample") * x32 + g("c_d0") * m0 + g("c_d1") * (m0 - m_prev)
+        return x_next.astype(sample.dtype), m0
+
     def ddim_step(
         self, model_eps: jax.Array, t: jax.Array, sample: jax.Array, num_inference_steps: int
     ) -> jax.Array:
