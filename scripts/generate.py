@@ -43,6 +43,11 @@ def main():
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard generation over an N-device 'data' mesh "
                         "(prompt batch must divide N; params replicated)")
+    p.add_argument("--frame-parallel", type=int, default=0, metavar="S",
+                   help="sequence-parallel serving: shard the FRAME axis over "
+                        "an S-way 'sp' mesh axis so a SINGLE clip scales "
+                        "across chips (the CFG pair rides a 2*batch 'data' "
+                        "axis; total devices = 2*batch*S; frames % S == 0)")
     p.add_argument("--deepcache", type=int, default=1, metavar="N",
                    help="DeepCache interval: deep UNet levels refresh every Nth "
                         "denoise step (1 = exact, >1 trades fidelity for speed)")
@@ -50,6 +55,11 @@ def main():
                    help="CFG-cache interval: recompute the uncond CFG branch "
                         "every Nth step only (1 = exact; mutually exclusive "
                         "with --deepcache > 1)")
+    p.add_argument("--solver", choices=("ddim", "dpmpp_2m"), default="ddim",
+                   help="denoise solver: 'ddim' (reference parity) or "
+                        "'dpmpp_2m' (2nd-order DPM-Solver++: comparable "
+                        "quality in roughly half the steps, e.g. "
+                        "--solver dpmpp_2m --num-inference-steps 12)")
     args = p.parse_args()
 
     import jax
@@ -100,7 +110,15 @@ def main():
 
     schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
     mesh = None
-    if args.data_parallel:
+    if args.frame_parallel:
+        from synfmc_tpu.parallel import create_serving_mesh
+
+        ndata = 2 * len(args.prompt)  # CFG pair rides 'data' (see pipelines/animation.py)
+        mesh = create_serving_mesh(
+            num_data=ndata, num_sp=args.frame_parallel,
+            devices=jax.devices()[: ndata * args.frame_parallel],
+        )
+    elif args.data_parallel:
         from synfmc_tpu.parallel import create_mesh
 
         mesh = create_mesh(num_data=args.data_parallel,
@@ -163,6 +181,7 @@ def main():
         omcm_min_step=int(config.get("omcm_min_step", 700)),
         deepcache_interval=args.deepcache,
         cfg_cache_interval=args.cfg_cache,
+        solver=args.solver,
     )
     save_videos_grid(np.asarray(video), args.out)
     print(f"wrote {args.out}")

@@ -1,6 +1,7 @@
 from synfmc_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
+    create_serving_mesh,
     is_main_process,
     replicate,
     shard_batch,
@@ -10,6 +11,7 @@ from synfmc_tpu.parallel.mesh import (
 
 __all__ = [
     "create_mesh",
+    "create_serving_mesh",
     "shard_batch",
     "replicate",
     "batch_sharding",

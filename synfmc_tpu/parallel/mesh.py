@@ -31,6 +31,27 @@ def create_mesh(num_data: Optional[int] = None, num_fsdp: int = 1, devices=None)
     return Mesh(devices.reshape(num_data, num_fsdp), axis_names=("data", "fsdp"))
 
 
+def create_serving_mesh(num_data: Optional[int] = None, num_sp: int = 1, devices=None) -> Mesh:
+    """Serving mesh with ('data', 'sp') axes.
+
+    ``data`` shards independent batch members — for sequence-parallel serving
+    the CFG pair rides this axis (see pipelines/animation.py:denoise_loop),
+    so a single clip uses data=2.  ``sp`` shards the FRAME axis: every
+    frame-local op (conv, GroupNorm, spatial attention — ~90% of the UNet's
+    FLOPs) partitions with zero communication, and the temporal-attention
+    collectives are synthesized by GSPMD from sharding constraints.  This is
+    what lets ONE clip's generation scale across chips, which plain data
+    parallelism cannot do.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = devices.size // num_sp
+    assert num_data * num_sp == devices.size, (
+        f"{devices.size} devices cannot form a {num_data}x{num_sp} serving mesh"
+    )
+    return Mesh(devices.reshape(num_data, num_sp), axis_names=("data", "sp"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis data sharding for batches."""
     return NamedSharding(mesh, P("data"))

@@ -49,9 +49,16 @@ class AnimationPipeline:
     pose_encoder_params: Any = None
     adapter: Any = None
     adapter_params: Any = None
-    # Optional jax.sharding.Mesh with a 'data' axis for multi-chip serving:
-    # batched inputs (latents/context/pose/traj) are sharded over 'data',
-    # params replicated — the serving-side analog of training DP (§2.6).
+    # Optional jax.sharding.Mesh for multi-chip serving, params replicated:
+    # - 'data' axis: batched inputs sharded over independent batch members —
+    #   the serving-side analog of training DP (§2.6).
+    # - optional 'sp' axis (create_serving_mesh): sequence parallelism over
+    #   the FRAME axis, which accelerates a SINGLE clip.  The CFG pair rides
+    #   'data' (mesh data == 2*batch required) so the frame-fold reshape
+    #   (B,F,…)→(B·F,…) stays a contiguous P(('data','sp')) partition; every
+    #   frame-local op (conv/GN/spatial attention, ~90% of UNet FLOPs) then
+    #   partitions with zero communication and GSPMD synthesizes the
+    #   temporal-attention collectives from the constraints in denoise_loop.
     mesh: Any = None
 
     def __post_init__(self):
@@ -68,6 +75,14 @@ class AnimationPipeline:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+
+    def _shard_frames(self, x, axis: int = 1):
+        """Shard a (B, F, ...) video tensor's frame axis over 'sp'."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * x.ndim
+        spec[axis] = "sp"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
     def encode_prompt(self, prompts, negative_prompts=None) -> jax.Array:
         """(2B, 77, hidden) text embeddings, uncond first (CFG batch)."""
@@ -114,6 +129,7 @@ class AnimationPipeline:
         multidiff_overlaps: int = 12,
         deepcache_interval: int = 1,
         cfg_cache_interval: int = 1,
+        solver: str = "ddim",
         decode: bool = True,
     ):
         """Generate videos.  Returns (B, F_total, H, W, 3) in [0, 1] when
@@ -134,7 +150,25 @@ class AnimationPipeline:
         if traj_features is not None:
             assert multidiff_total_steps == 1, "OMC requires multidiff_total_steps == 1 (cm_om.py:690)"
 
-        if self.mesh is not None:
+        nsp = self.mesh.shape.get("sp", 1) if self.mesh is not None else 1
+        if self.mesh is not None and nsp > 1:
+            # Sequence-parallel serving: frames over 'sp', CFG pair over 'data'.
+            ndata = self.mesh.shape["data"]
+            assert ndata == 2 * batch, (
+                f"frame-parallel serving needs mesh data == 2*batch (the CFG "
+                f"pair rides 'data'); got data={ndata}, batch={batch}"
+            )
+            assert total_frames % nsp == 0, (
+                f"{total_frames} frames must divide the 'sp' axis {nsp}"
+            )
+            assert multidiff_total_steps == 1, "frame-parallel serving requires multidiff_total_steps == 1"
+            latents = self._shard_frames(latents)
+            context = self._shard_data(context)
+            if pose_features is not None:
+                pose_features = [self._shard_frames(p) for p in pose_features]
+            if traj_features is not None:
+                traj_features = [self._shard_frames(t) for t in traj_features]
+        elif self.mesh is not None:
             ndata = self.mesh.shape["data"]
             assert batch % ndata == 0, (
                 f"prompt batch {batch} must divide the mesh 'data' axis {ndata}"
@@ -162,10 +196,13 @@ class AnimationPipeline:
             multidiff_overlaps=multidiff_overlaps,
             deepcache_interval=deepcache_interval,
             cfg_cache_interval=cfg_cache_interval,
+            solver=solver,
+            mesh=self.mesh if nsp > 1 else None,
         )
         if not decode:
             return latents
-        return decode_latents(self.vae, self.vae_params, latents)
+        return decode_latents(self.vae, self.vae_params, latents,
+                              mesh=self.mesh if nsp > 1 else None)
 
 
 @functools.partial(
@@ -180,6 +217,8 @@ class AnimationPipeline:
         "multidiff_overlaps",
         "deepcache_interval",
         "cfg_cache_interval",
+        "solver",
+        "mesh",
     ),
 )
 def denoise_loop(
@@ -198,8 +237,16 @@ def denoise_loop(
     multidiff_overlaps: int = 12,
     deepcache_interval: int = 1,
     cfg_cache_interval: int = 1,
+    solver: str = "ddim",
+    mesh=None,
 ):
     """jit-compiled CFG denoise loop (lax.scan over the DDIM table).
+
+    ``solver`` selects the per-step update: ``"ddim"`` (default — the exact
+    reference-parity path, pipeline_animation.py:701) or ``"dpmpp_2m"``
+    (DPM-Solver++(2M), a second-order multistep ODE solver over the SAME
+    timestep table — comparable quality in roughly half the steps, zero
+    per-step overhead; composes with the cache modes below).
 
     ``deepcache_interval > 1`` enables DeepCache acceleration (Ma et al.,
     arXiv:2312.00858, rebuilt TPU-first): the deep UNet levels (down 1-3,
@@ -217,21 +264,56 @@ def denoise_loop(
     Setting BOTH intervals (equal) composes them: refresh steps run the full
     2B forward re-recording both caches; every other step runs only the
     shallow UNet level on the cond branch.
+
+    ``mesh`` (static) enables SEQUENCE-PARALLEL serving over a
+    ('data', 'sp') mesh: frames are sharded over 'sp' and the CFG pair over
+    'data' (mesh data == 2*batch).  The constraints below pin the CFG-batched
+    UNet inputs to P('data','sp') — under that layout the frame-fold reshape
+    (2B,F,…)→(2B·F,…) is the contiguous partition P(('data','sp')), so every
+    frame-local op partitions with zero communication and GSPMD inserts
+    collectives only where frames genuinely interact (temporal attention).
     """
     timesteps = jnp.asarray(schedule.ddim_timesteps(num_inference_steps))
     stride = window_length - multidiff_overlaps
+    if solver == "dpmpp_2m":
+        solver_tables = schedule.dpmpp_2m_tables(num_inference_steps)
+    elif solver != "ddim":
+        raise ValueError(f"unknown solver {solver!r} (want 'ddim' or 'dpmpp_2m')")
+
+    nsp = mesh.shape.get("sp", 1) if mesh is not None else 1
+
+    def wsc(x, *spec):
+        """Sharding constraint (no-op without an 'sp' mesh)."""
+        if nsp <= 1 or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+    if nsp > 1:
+        assert multidiff_total_steps == 1, "frame-parallel serving requires multidiff_total_steps == 1"
+        assert mesh.shape["data"] == 2 * latents.shape[0], (
+            "frame-parallel serving needs mesh data == 2*batch (CFG pair on 'data')"
+        )
+        latents = wsc(latents, None, "sp")
+        context = wsc(context, "data")
 
     # CFG duplication done once: pose features shared between branches
     # (pipeline_animation.py:661-667); traj uncond branch zeroed (cm_om.py:670-676).
     pose_cfg = None
     if pose_features is not None:
-        pose_cfg = [jnp.concatenate([p, p], axis=0) for p in pose_features]
+        pose_cfg = [wsc(jnp.concatenate([p, p], axis=0), "data", "sp") for p in pose_features]
     traj_cfg = None
     if traj_features is not None:
-        traj_cfg = [jnp.concatenate([jnp.zeros_like(tr), tr], axis=0) for tr in traj_features]
+        traj_cfg = [
+            wsc(jnp.concatenate([jnp.zeros_like(tr), tr], axis=0), "data", "sp")
+            for tr in traj_features
+        ]
 
     def unet_eps(window_latents, t, pose_w, traj_w):
-        latent_in = jnp.concatenate([window_latents, window_latents], axis=0)
+        latent_in = wsc(
+            jnp.concatenate([window_latents, window_latents], axis=0), "data", "sp"
+        )
         traj_t = None
         if traj_w is not None:
             gate = (t >= omcm_min_step).astype(latent_in.dtype)
@@ -241,7 +323,27 @@ def denoise_loop(
             pose_features=pose_w, traj_features=traj_t,
         )
         uncond, cond = jnp.split(eps, 2, axis=0)
-        return uncond + guidance_scale * (cond - uncond)
+        return wsc(uncond + guidance_scale * (cond - uncond), None, "sp")
+
+    # Solver-state abstraction shared by the exact and cached scan bodies:
+    # DDIM carries only the latents; DPM-Solver++(2M) additionally carries the
+    # previous step's x0-prediction (first step's coefficient on it is 0).
+    def solver_init(latents):
+        carry = {"latents": latents}
+        if solver == "dpmpp_2m":
+            carry["m_prev"] = wsc(jnp.zeros_like(latents), None, "sp")
+        return carry
+
+    def solver_step(carry, eps_cfg, t, idx):
+        latents = carry["latents"]
+        if solver == "ddim":
+            return {"latents": wsc(
+                schedule.ddim_step(eps_cfg, t, latents, num_inference_steps), None, "sp"
+            )}
+        x_next, m0 = schedule.dpmpp_2m_step(
+            eps_cfg, idx, latents, carry["m_prev"], solver_tables
+        )
+        return {"latents": wsc(x_next, None, "sp"), "m_prev": wsc(m0, None, "sp")}
 
     use_deep = deepcache_interval > 1
     use_cfg = cfg_cache_interval > 1
@@ -273,7 +375,10 @@ def denoise_loop(
             traj_full = [tr * gate for tr in traj_cfg] if traj_cfg is not None else None
 
             def refresh(_):
-                latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+                latent_in = wsc(
+                    jnp.concatenate([latents, latents], axis=0).astype(unet.dtype),
+                    "data", "sp",
+                )
                 t_vec = jnp.full((2 * b,), t)
                 if use_deep:
                     eps, deep_new = unet.apply(
@@ -286,9 +391,10 @@ def denoise_loop(
                         pose_features=pose_cfg, traj_features=traj_full,
                     )
                 uncond, cond = jnp.split(eps, 2, axis=0)
-                out = {"uncond": uncond, "cond": cond}
+                out = {"uncond": wsc(uncond, None, "sp"), "cond": wsc(cond, None, "sp")}
                 if use_deep:
-                    out["deep"] = deep_new[b:] if use_cfg else deep_new
+                    d_new = deep_new[b:] if use_cfg else deep_new
+                    out["deep"] = wsc(d_new, *((None, "sp") if use_cfg else ("data", "sp")))
                 return out
 
             def cached(_):
@@ -297,44 +403,53 @@ def denoise_loop(
                     # cond branch only at batch B; uncond reused from the carry
                     traj_t = [tr * gate for tr in traj_features] if traj_features is not None else None
                     cond = unet.apply(
-                        unet_params, latents.astype(unet.dtype), jnp.full((b,), t), ctx_cond,
+                        unet_params, wsc(latents.astype(unet.dtype), None, "sp"),
+                        jnp.full((b,), t), ctx_cond,
                         pose_features=pose_features, traj_features=traj_t,
                         deep_cache=deep,
                     )
-                    out = {"uncond": carry["uncond"], "cond": cond}
+                    out = {"uncond": carry["uncond"], "cond": wsc(cond, None, "sp")}
                 else:
                     # full CFG pair, shallow level only (DeepCache)
-                    latent_in = jnp.concatenate([latents, latents], axis=0).astype(unet.dtype)
+                    latent_in = wsc(
+                        jnp.concatenate([latents, latents], axis=0).astype(unet.dtype),
+                        "data", "sp",
+                    )
                     eps = unet.apply(
                         unet_params, latent_in, jnp.full((2 * b,), t), context,
                         pose_features=pose_cfg, traj_features=traj_full, deep_cache=deep,
                     )
                     uncond, cond = jnp.split(eps, 2, axis=0)
-                    out = {"uncond": uncond, "cond": cond}
+                    out = {"uncond": wsc(uncond, None, "sp"), "cond": wsc(cond, None, "sp")}
                 if use_deep:
                     out["deep"] = deep
                 return out
 
             res = jax.lax.cond(idx % k == 0, refresh, cached, None)
             eps_cfg = res["uncond"] + guidance_scale * (res["cond"] - res["uncond"])
-            new_carry = {"latents": schedule.ddim_step(eps_cfg, t, latents, num_inference_steps)}
+            new_carry = solver_step(carry, eps_cfg, t, idx)
             if use_deep:
                 new_carry["deep"] = res["deep"]
             if use_cfg:
                 new_carry["uncond"] = res["uncond"]
             return new_carry, None
 
-        carry0 = {"latents": latents}
+        carry0 = solver_init(latents)
         if use_deep:
-            carry0["deep"] = jnp.zeros((deep_b, f_total, h_lat, w_lat, deep_ch), unet.dtype)
+            carry0["deep"] = wsc(
+                jnp.zeros((deep_b, f_total, h_lat, w_lat, deep_ch), unet.dtype),
+                *((None, "sp") if use_cfg else ("data", "sp")),
+            )
         if use_cfg:
-            carry0["uncond"] = jnp.zeros(latents.shape, unet.dtype)  # idx 0 always refreshes
+            carry0["uncond"] = wsc(jnp.zeros(latents.shape, unet.dtype), None, "sp")  # idx 0 always refreshes
         carry, _ = jax.lax.scan(
             cache_body, carry0, (timesteps, jnp.arange(timesteps.shape[0]))
         )
         return carry["latents"]
 
-    def body(latents, t):
+    def body(carry, xs):
+        latents = carry["latents"]
+        t, idx = xs
         if multidiff_total_steps == 1:
             eps_full = unet_eps(latents, t, pose_cfg, traj_cfg)
         else:
@@ -362,20 +477,44 @@ def denoise_loop(
                     axis=1,
                 )
             eps_full = eps_acc / jnp.maximum(count, 1.0)
-        latents = schedule.ddim_step(eps_full, t, latents, num_inference_steps)
-        return latents, None
+        return solver_step(carry, eps_full, t, idx), None
 
-    latents, _ = jax.lax.scan(body, latents, timesteps)
-    return latents
+    carry, _ = jax.lax.scan(
+        body, solver_init(latents), (timesteps, jnp.arange(timesteps.shape[0]))
+    )
+    return carry["latents"]
 
 
-def decode_latents(vae, vae_params, latents: jax.Array) -> jax.Array:
+def decode_latents(vae, vae_params, latents: jax.Array, mesh=None) -> jax.Array:
     """Frame-wise VAE decode -> (B, F, H, W, 3) in [0, 1]
-    (pipeline_animation.py:238-251, incl. the /0.18215 inside vae.decode)."""
+    (pipeline_animation.py:238-251, incl. the /0.18215 inside vae.decode).
+
+    Single-chip: frames decode sequentially under ``lax.map`` to bound
+    memory.  With an 'sp' serving mesh the decode is BATCHED with the frame
+    axis sharded over 'sp' instead — each device decodes its F/sp frames in
+    parallel (the fold is frame-major so P('sp') stays expressible for any
+    batch size; per-device memory is bounded by the shard, not the clip).
+    """
     b, f, h, w, c = latents.shape
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        frames = latents.transpose(1, 0, 2, 3, 4).reshape(f * b, h, w, c)
+        frames = jax.device_put(frames, NamedSharding(mesh, P("sp")))
+        images = _decode_frames_batched(vae, vae_params, frames)  # (f*b, H, W, 3)
+        images = images.reshape(f, b, *images.shape[1:])
+        return images.transpose(1, 0, 2, 3, 4)
     frames = latents.reshape(b * f, h, w, c)
 
     decode_one = lambda z: vae.apply(vae_params, z[None], method=type(vae).decode)[0]
     images = jax.lax.map(decode_one, frames)
     images = (images / 2.0 + 0.5).clip(0.0, 1.0)
     return images.reshape(b, f, *images.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("vae",))
+def _decode_frames_batched(vae, vae_params, frames: jax.Array) -> jax.Array:
+    """(F·B, h, w, 4) latent frames -> (F·B, H, W, 3) images in [0, 1],
+    sharding propagated from the input's committed layout."""
+    images = vae.apply(vae_params, frames, method=type(vae).decode)
+    return (images / 2.0 + 0.5).clip(0.0, 1.0)

@@ -38,6 +38,9 @@ def test_generate_cli(tmp_path):
             sys.executable, "scripts/generate.py", "--config", str(cfg_path),
             "--prompt", "a red robot walks", "--video-length", "4",
             "--num-inference-steps", "2", "--out", str(out), "--cpu",
+            # beyond-reference solver flag rides the smoke test (the other
+            # CLI tests cover the default ddim path)
+            "--solver", "dpmpp_2m",
         ],
         capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
         timeout=560,
@@ -128,3 +131,42 @@ def test_generate_cli_omc_trajectory(tmp_path):
     )
     assert res.returncode != 0
     assert "CMC" in res.stderr or "pretrained_cm_path" in res.stderr
+
+def test_generate_cli_frame_parallel(tmp_path):
+    """--frame-parallel S drives sequence-parallel serving end-to-end through
+    the CLI on an 8-virtual-device CPU mesh ({data:2, sp:4} for one prompt)."""
+    cfg = {
+        "output_dir": str(tmp_path),
+        "mixed_precision_training": False,
+        "model_overrides": {
+            "block_out_channels": [32, 64, 128, 128],
+            "cross_attention_dim": 32,
+            "attn_heads": 4,
+            "vae_channels": [32, 32, 32, 32],
+            "text": {"vocab_size": 49408, "hidden_size": 32, "num_layers": 1, "num_heads": 2},
+        },
+        "unet_additional_kwargs": {
+            "use_motion_module": True,
+            "motion_module_kwargs": {"num_attention_heads": 4},
+        },
+        "pose_encoder_kwargs": {"temporal_attention_nhead": 4},
+        "train_data": {"params": {"sample_size": [64, 128], "sample_n_frames": 4}},
+        "noise_scheduler_kwargs": {"beta_schedule": "linear"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "video_sp.gif"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    res = subprocess.run(
+        [
+            sys.executable, "scripts/generate.py", "--config", str(cfg_path),
+            "--prompt", "a red robot walks", "--video-length", "4",
+            "--num-inference-steps", "2", "--frame-parallel", "4",
+            "--out", str(out), "--cpu",
+        ],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        timeout=560,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out.exists()
