@@ -51,6 +51,40 @@ def test_clip_text_model(rng):
     assert np.abs(np.asarray(out[:, 50:]) - np.asarray(out2[:, 50:])).max() > 1e-4
 
 
+def test_clip_matches_real_transformers_library(rng):
+    """Parity against the ACTUAL transformers.CLIPTextModel (the library the
+    reference loads SD1.5's text encoder from, train_cam_ctrl.py:223) — not a
+    transcription: random HF weights are ported through import_torch_state
+    and last_hidden_state must match elementwise.  This pins quick_gelu, the
+    causal mask, pre-LN placement, embedding arithmetic, the final LayerNorm,
+    AND the weight-port name/layout mapping against the real implementation."""
+    import torch
+    from transformers import CLIPTextConfig
+    from transformers import CLIPTextModel as HFCLIPTextModel
+
+    from synfmc_tpu.interop.torch_port import import_torch_state
+
+    cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = HFCLIPTextModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    ours = CLIPTextModel(vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4)
+    template = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    params, report = import_torch_state(template, sd, "clip_text", strict=True)
+    assert not report["missing"] and not report["unused"], report
+
+    ids = rng.integers(0, 1000, size=(2, 77)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_hash_tokenizer_layout():
     tok = HashTokenizer()
     ids = tok(["a photo of a cat", ""])
