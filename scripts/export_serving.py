@@ -47,6 +47,8 @@ def main():
     p.add_argument("--num-inference-steps", type=int, default=None)
     p.add_argument("--guidance-scale", type=float, default=8.0)
     p.add_argument("--deepcache", type=int, default=1)
+    p.add_argument("--cfg-cache", type=int, default=1)
+    p.add_argument("--solver", choices=("ddim", "dpmpp_2m"), default="ddim")
     p.add_argument("--verify", action="store_true",
                    help="deserialize the artifact and check it matches the live program")
     args = p.parse_args()
@@ -93,6 +95,7 @@ def main():
             unet, {"params": params["unet"]}, schedule, latents, context,
             pose_features=pose_features, num_inference_steps=steps,
             guidance_scale=args.guidance_scale, deepcache_interval=args.deepcache,
+            cfg_cache_interval=args.cfg_cache, solver=args.solver,
         )
         return decode_latents(vae, {"params": params["vae"]}, lat)
 
@@ -113,6 +116,7 @@ def main():
         "out": args.out, "bytes": len(blob), "platforms": list(exp.platforms),
         "in_avals": len(exp.in_avals), "height": h, "width": w, "frames": f,
         "num_inference_steps": steps, "deepcache_interval": args.deepcache,
+        "cfg_cache_interval": args.cfg_cache, "solver": args.solver,
     }
 
     if args.verify:
