@@ -36,7 +36,12 @@ def main():
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--step-budget-s", type=float, default=0.98,
                    help="device seconds per step at batch 8 (PERF.md)")
+    p.add_argument("--no-native", action="store_true",
+                   help="disable the first-party C++ decode path (A/B vs PIL)")
     args = p.parse_args()
+
+    if args.no_native:
+        os.environ["SYNFMC_NATIVE_IO"] = "0"
 
     import numpy as np
 

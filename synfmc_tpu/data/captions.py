@@ -201,13 +201,13 @@ def get_seen_objects(
     """
     import os
 
-    from PIL import Image
+    from synfmc_tpu.native.fastimage import imread
 
     objs_seq = seq_meta["objects"]
     obj_num = len(objs_seq)
     obj_ids = [csv_param_to_dict(objs_seq[str(i)]["Comment"])["obj_id"] for i in range(obj_num)]
 
-    total_mask = np.array(Image.open(os.path.join(mask_root, "total.png")))
+    total_mask = imread(os.path.join(mask_root, "total.png"))
     total_mask = (total_mask > 0).astype(bool)
     if total_mask.ndim == 3:
         total_mask = total_mask.any(axis=-1)
@@ -221,7 +221,7 @@ def get_seen_objects(
             seen_idxs.append(0)
     else:
         for i in range(obj_num):
-            m = np.array(Image.open(os.path.join(mask_root, f"{i}.png")))
+            m = imread(os.path.join(mask_root, f"{i}.png"))
             m = (m > 0).astype(bool)
             if m.ndim == 3:
                 m = m.any(axis=-1)

@@ -323,12 +323,30 @@ class UnrealTrajVideoDataset:
         img = img.resize((w, h), Image.BILINEAR)
         return np.asarray(img, dtype=np.float32) / 255.0
 
+    def _load_clip(self, img_paths: list) -> np.ndarray:
+        """All clip frames decoded+resized to (F, H, W, 3) float32 [0, 1].
+
+        Fast path: the first-party native batch decoder (libpng + a
+        Pillow-bit-exact BILINEAR resampler, C++ threads outside the GIL —
+        synfmc_tpu/native/fastimage.cpp); falls back to per-file PIL with
+        identical output bytes.
+        """
+        from synfmc_tpu.native import fastimage
+
+        h, w = self.sample_size
+        pixels = fastimage.decode_resize_batch(list(img_paths), h, w)
+        if pixels is None:
+            pixels = np.stack([self._load_and_resize(p) for p in img_paths])
+        return pixels
+
     def _resize_mask(self, mask: np.ndarray) -> np.ndarray:
         from synfmc_tpu.data.masks import resize_mask_nearest
 
         h, w = self.sample_size
         m2d = mask[..., 0] if mask.ndim == 3 else mask
-        return resize_mask_nearest(m2d.astype(np.float32), h, w)
+        # nearest resize commutes exactly with the dtype cast; resizing the
+        # bool/uint8 source first moves 4x fewer bytes
+        return resize_mask_nearest(m2d, h, w).astype(np.float32)
 
     def sample_video_from_image_folder(self, folder: str, tgt_fps: int,
                                        start_frame: Optional[int] = None):
@@ -370,7 +388,7 @@ class UnrealTrajVideoDataset:
         if caption == "":
             return None
 
-        pixels = np.stack([self._load_and_resize(p) for p in img_paths])  # (F,H,W,3) [0,1]
+        pixels = self._load_clip(img_paths)  # (F,H,W,3) [0,1]
         pixels = (pixels - 0.5) / 0.5  # Normalize(0.5, 0.5)
 
         f = len(frame_list)
@@ -385,7 +403,7 @@ class UnrealTrajVideoDataset:
                 camera_info[fi], fr["obj_infos"], self.obj_translation_rescale_factor
             ) if len(fr["obj_infos"]) else np.zeros((0, 12), np.float32)
             for oi, mask in enumerate(fr["obj_masks"][:o]):
-                raw_obj_masks[fi, oi] = self._resize_mask(mask[..., 0].astype(np.float32))
+                raw_obj_masks[fi, oi] = self._resize_mask(mask)
                 if self.use_sphere_mask:
                     # reference order: nearest-resize to sample_size FIRST,
                     # then circle+Gaussian at target res (dataset.py:5350-62)
@@ -410,12 +428,12 @@ class UnrealTrajVideoDataset:
         data_type = self.data_type_list[idx]
         return dict(
             video_path=video_path,
-            pixel_values=pixels.astype(np.float32),
+            pixel_values=pixels.astype(np.float32, copy=False),
             caption=caption,
             background_caption=background,
-            camera_rt=camera_rt.astype(np.float32),
-            intrinsics=intrinsics.astype(np.float32),
-            obj_union_mask=total_mask.astype(np.float32),
+            camera_rt=camera_rt.astype(np.float32, copy=False),
+            intrinsics=intrinsics.astype(np.float32, copy=False),
+            obj_union_mask=total_mask.astype(np.float32, copy=False),
             obj_info=obj_info,
             obj_masks=obj_masks,
             flip_flag=np.asarray(flip),
@@ -424,7 +442,7 @@ class UnrealTrajVideoDataset:
             # validation extras (reference create_validation_prompts tuple,
             # dataset.py:3525-3533 / _v2:4066-4070); collate_fn ignores them
             raw_obj_masks=raw_obj_masks,
-            camera_info=camera_info.astype(np.float32),
+            camera_info=camera_info.astype(np.float32, copy=False),
             img_paths=img_paths,
             seen_ids_per_frame=[fr["seen_ids"] for fr in per_frame],
             scene_type=csv_param_to_dict(
@@ -763,7 +781,7 @@ class UnrealTrajLoraDataset(UnrealTrajVideoDataset):
             return None
         return dict(
             video_path=path,
-            pixel_values=((self._load_and_resize(path) - 0.5) / 0.5).astype(np.float32),
+            pixel_values=((self._load_clip([path])[0] - 0.5) / 0.5).astype(np.float32),
             caption=caption,
             background_caption=background,
         )

@@ -56,14 +56,23 @@ def _poison_jax_in_worker() -> None:
 
 
 def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int,
-                 process_index: int = 0, worker_id: int = 0) -> None:
+                 process_index: int = 0, worker_id: int = 0,
+                 num_workers: int = 1) -> None:
     """Persistent worker: lives across epochs; jobs are (bi, batch_idx, epoch).
 
     The worker reseeds the dataset RNG when the job's epoch changes — the
     per-(host, epoch, worker) stream that per-epoch respawning used to
     provide, without paying worker startup every epoch.
     """
+    import os
+
     _poison_jax_in_worker()
+    # budget the native decoder's C++ threads so num_workers processes don't
+    # oversubscribe the host during PNG-decode bursts (overridable by env)
+    os.environ.setdefault(
+        "SYNFMC_NATIVE_IO_THREADS",
+        str(max(1, (os.cpu_count() or 1) // max(1, num_workers))),
+    )
     cur_epoch = None
     while True:
         job = job_q.get()
@@ -171,7 +180,7 @@ class ShardedLoader:
             ctx.Process(
                 target=_worker_loop,
                 args=(self.dataset, self.collate_fn, self._job_q, self._out_q,
-                      self.seed, self.process_index, w),
+                      self.seed, self.process_index, w, self.num_workers),
                 daemon=True,
             )
             for w in range(self.num_workers)

@@ -22,10 +22,14 @@ def is_normal_size(mask: np.ndarray, percentage: float = 0.015) -> bool:
     if mask.ndim == 3:
         mask = mask[..., 0]
     h, w = mask.shape[:2]
-    rows, cols = np.where(mask > 0)
-    if len(rows) == 0:
+    nz = mask > 0
+    rows = nz.any(axis=1)
+    cols = nz.any(axis=0)
+    if not rows.any():
         return False
-    area = (rows.max() - rows.min() + 1) * (cols.max() - cols.min() + 1)
+    rmin, rmax = rows.argmax(), h - 1 - rows[::-1].argmax()
+    cmin, cmax = cols.argmax(), w - 1 - cols[::-1].argmax()
+    area = (rmax - rmin + 1) * (cmax - cmin + 1)
     return area > h * w * percentage
 
 
@@ -107,7 +111,22 @@ def _circle_from(points) -> tuple[np.ndarray, float]:
 
 def min_enclosing_circle(points: np.ndarray) -> tuple[tuple[float, float], float]:
     """Exact minimum enclosing circle (Welzl on the convex hull) —
-    cv2.minEnclosingCircle replacement.  points: (N, 2) as (x, y)."""
+    cv2.minEnclosingCircle replacement.  points: (N, 2) as (x, y).
+
+    Fast path: the first-party C++ implementation (the Python Welzl below is
+    the hottest loader cost after image decode); both compute the unique
+    exact MEC, differing only in last-ulp arithmetic order.
+    """
+    from synfmc_tpu.native import fastimage
+
+    native = fastimage.min_enclosing_circle(np.asarray(points, np.float64))
+    if native is not None:
+        return native
+    return _python_min_enclosing_circle(points)
+
+
+def _python_min_enclosing_circle(points: np.ndarray) -> tuple[tuple[float, float], float]:
+    """Pure-Python Welzl fallback (also the native path's test oracle)."""
     pts = _convex_hull(np.asarray(points, dtype=np.float64))
     shuffled = list(pts)
     random.Random(0).shuffle(shuffled)
@@ -144,19 +163,41 @@ def sphere_gaussian_mask(mask: np.ndarray, center_override=None) -> np.ndarray:
     (cx, cy), radius = min_enclosing_circle(np.column_stack((x, y)))
     if center_override is not None:
         cx, cy = float(center_override[0]), float(center_override[1])
-    yy, xx = np.ogrid[: m2d.shape[0], : m2d.shape[1]]
+    h, w = m2d.shape
+    # The full-image product (circle * g / g.max()) is zero outside the int
+    # circle's bounding box, so compute only that slab — bit-identical
+    # because each in-box pixel sees the same elementwise float ops.
+    icx, icy, ir = int(cx), int(cy), int(radius)
+    y0, y1 = max(icy - ir, 0), min(icy + ir + 1, h)
+    x0, x1 = max(icx - ir, 0), min(icx + ir + 1, w)
+    out = np.zeros((h, w), np.float32)
+    if y0 >= y1 or x0 >= x1:
+        return out
+    # g.max() over the full grid = g at the in-image pixel nearest the float
+    # center; evaluate it with the exact same expression the slab uses.
+    nx = min(max(int(round(cx)), 0), w - 1)
+    ny = min(max(int(round(cy)), 0), h - 1)
+    sigma = max(radius / 2.0, 1e-6)
+    gmax = np.exp(-0.5 * (np.sqrt((nx - cx) ** 2 + (ny - cy) ** 2) / sigma) ** 2)
+    if gmax == 0.0:
+        # Gaussian underflowed everywhere (center_override dragged far from a
+        # tiny mask): the limit is an all-zero mask.  (The previous full-image
+        # formula returned 0/0 = NaN here and poisoned downstream arrays.)
+        return out
+    yy, xx = np.ogrid[y0:y1, x0:x1]
     dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
     # cv2.circle with int center/radius: replicate the int truncation
-    circle = np.sqrt((xx - int(cx)) ** 2 + (yy - int(cy)) ** 2) <= int(radius)
-    sigma = radius / 2.0
-    g = np.exp(-0.5 * (dist / max(sigma, 1e-6)) ** 2)
-    g = g / g.max()
-    return (circle * g).astype(np.float32)
+    circle = np.sqrt((xx - icx) ** 2 + (yy - icy) ** 2) <= ir
+    g = np.exp(-0.5 * (dist / sigma) ** 2)
+    out[y0:y1, x0:x1] = (circle * (g / gmax)).astype(np.float32)
+    return out
 
 
 def resize_mask_nearest(mask: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor mask resize (host-side, numpy)."""
     h, w = mask.shape[:2]
+    if h == out_h and w == out_w:
+        return mask
     rows = (np.arange(out_h) * (h / out_h)).astype(np.int64)
     cols = (np.arange(out_w) * (w / out_w)).astype(np.int64)
-    return mask[rows][:, cols]
+    return mask[rows[:, None], cols]

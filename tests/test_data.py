@@ -43,6 +43,38 @@ def test_sphere_gaussian_mask():
     assert g[0, 0] == 0.0
 
 
+def test_sphere_gaussian_mask_matches_full_image_formula():
+    """The bbox-restricted computation must be bit-identical to the original
+    whole-image formula (reference dataset.py:5350-5404 semantics)."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        h, w = int(rng.integers(8, 120)), int(rng.integers(8, 160))
+        m = np.zeros((h, w), bool)
+        n = int(rng.integers(1, 30))
+        m[rng.integers(0, h, n), rng.integers(0, w, n)] = True
+        got = sphere_gaussian_mask(m)
+
+        y, x = np.nonzero(m)
+        (cx, cy), radius = min_enclosing_circle(np.column_stack((x, y)))
+        yy, xx = np.ogrid[:h, :w]
+        dist = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        circle = np.sqrt((xx - int(cx)) ** 2 + (yy - int(cy)) ** 2) <= int(radius)
+        g = np.exp(-0.5 * (dist / max(radius / 2.0, 1e-6)) ** 2)
+        ref = (circle * (g / g.max())).astype(np.float32)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_sphere_gaussian_mask_far_override_is_zero_not_nan():
+    """A center_override far from a tiny mask underflows the Gaussian; the
+    result must be all-zero (the limit), never NaN."""
+    m = np.zeros((64, 96), bool)
+    m[10, 10] = True  # radius 0 -> sigma clamps to 1e-6
+    # half-pixel off-grid: every pixel is >0 away, exp underflows to 0
+    g = sphere_gaussian_mask(m, center_override=(90.5, 60.5))
+    assert not np.isnan(g).any()
+    assert (g == 0).all()
+
+
 def test_is_normal_size():
     m = np.zeros((100, 100), bool)
     assert not is_normal_size(m)
