@@ -55,6 +55,10 @@ def main():
                    help="CFG-cache interval: recompute the uncond CFG branch "
                         "every Nth step only (1 = exact; mutually exclusive "
                         "with --deepcache > 1)")
+    p.add_argument("--decode-chunk", type=int, default=1, metavar="K",
+                   help="VAE-decode K frames per step instead of 1 (same "
+                        "math — the VAE is frame-independent — but batched "
+                        "convs fill the MXU; memory scales with K)")
     p.add_argument("--solver", choices=("ddim", "dpmpp_2m"), default="ddim",
                    help="denoise solver: 'ddim' (reference parity) or "
                         "'dpmpp_2m' (2nd-order DPM-Solver++: comparable "
@@ -182,6 +186,7 @@ def main():
         deepcache_interval=args.deepcache,
         cfg_cache_interval=args.cfg_cache,
         solver=args.solver,
+        decode_chunk=args.decode_chunk,
     )
     save_videos_grid(np.asarray(video), args.out)
     print(f"wrote {args.out}")

@@ -131,6 +131,7 @@ class AnimationPipeline:
         cfg_cache_interval: int = 1,
         solver: str = "ddim",
         decode: bool = True,
+        decode_chunk: int = 1,
     ):
         """Generate videos.  Returns (B, F_total, H, W, 3) in [0, 1] when
         ``decode`` else the final latents."""
@@ -202,7 +203,8 @@ class AnimationPipeline:
         if not decode:
             return latents
         return decode_latents(self.vae, self.vae_params, latents,
-                              mesh=self.mesh if nsp > 1 else None)
+                              mesh=self.mesh if nsp > 1 else None,
+                              decode_chunk=decode_chunk)
 
 
 @functools.partial(
@@ -485,12 +487,17 @@ def denoise_loop(
     return carry["latents"]
 
 
-def decode_latents(vae, vae_params, latents: jax.Array, mesh=None) -> jax.Array:
+def decode_latents(vae, vae_params, latents: jax.Array, mesh=None,
+                   decode_chunk: int = 1) -> jax.Array:
     """Frame-wise VAE decode -> (B, F, H, W, 3) in [0, 1]
     (pipeline_animation.py:238-251, incl. the /0.18215 inside vae.decode).
 
     Single-chip: frames decode sequentially under ``lax.map`` to bound
-    memory.  With an 'sp' serving mesh the decode is BATCHED with the frame
+    memory (reference semantics, ``decode_chunk=1``).  ``decode_chunk=k``
+    decodes k frames per step — the VAE is frame-independent so the math is
+    unchanged, but batched convs fill the MXU far better; with the cached/
+    few-step serving modes the decode is a visible share of clip latency.
+    With an 'sp' serving mesh the decode is BATCHED with the frame
     axis sharded over 'sp' instead — each device decodes its F/sp frames in
     parallel (the fold is frame-major so P('sp') stays expressible for any
     batch size; per-device memory is bounded by the shard, not the clip).
@@ -506,8 +513,17 @@ def decode_latents(vae, vae_params, latents: jax.Array, mesh=None) -> jax.Array:
         return images.transpose(1, 0, 2, 3, 4)
     frames = latents.reshape(b * f, h, w, c)
 
-    decode_one = lambda z: vae.apply(vae_params, z[None], method=type(vae).decode)[0]
-    images = jax.lax.map(decode_one, frames)
+    k = max(1, min(decode_chunk, b * f))
+    while (b * f) % k != 0:  # largest divisor <= requested chunk
+        k -= 1
+    if k > 1:
+        chunks = frames.reshape(b * f // k, k, h, w, c)
+        decode_k = lambda z: vae.apply(vae_params, z, method=type(vae).decode)
+        images = jax.lax.map(decode_k, chunks)
+        images = images.reshape(b * f, *images.shape[2:])
+    else:
+        decode_one = lambda z: vae.apply(vae_params, z[None], method=type(vae).decode)[0]
+        images = jax.lax.map(decode_one, frames)
     images = (images / 2.0 + 0.5).clip(0.0, 1.0)
     return images.reshape(b, f, *images.shape[1:])
 

@@ -63,6 +63,18 @@ def test_text_to_video(pipe):
     assert v.min() >= 0.0 and v.max() <= 1.0 and np.isfinite(v).all()
 
 
+def test_decode_chunk_matches_framewise(pipe):
+    """Chunked VAE decode == frame-wise decode (the VAE is frame-independent;
+    only the batching changes, so values match to compile tolerance)."""
+    from synfmc_tpu.pipelines.animation import decode_latents
+
+    latents = jax.random.normal(jax.random.PRNGKey(3), (1, F, H // 8, W // 8, 4))
+    ref = decode_latents(pipe.vae, pipe.vae_params, latents)
+    for k in (2, 3, F):  # 3 does not divide F=4: falls back to divisor 2
+        got = decode_latents(pipe.vae, pipe.vae_params, latents, decode_chunk=k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_camera_ctrl_changes_output(pipe):
     kw = dict(video_length=F, height=H, width=W, num_inference_steps=2, rng=jax.random.PRNGKey(2), decode=False)
     plucker = jnp.ones((1, F, H, W, 6)) * 0.3
