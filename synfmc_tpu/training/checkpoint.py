@@ -19,6 +19,7 @@ Two formats:
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Optional
 
 import jax
@@ -60,6 +61,35 @@ def restore_native(path: str, template: Any) -> Any:
         template,
     )
     return _ckptr().restore(path, item=abstract)
+
+
+def find_auto_resume(output_dir: str, name: str) -> Optional[str]:
+    """Latest Orbax bundle across this job's timestamped run dirs.
+
+    ``resume_from: auto`` support: run dirs are ``{output_dir}/{name}-<ts>``
+    (a restarted job gets a FRESH dir, so plain latest_native can't see the
+    previous attempt).  Scans every ``{name}-*/checkpoints`` and returns the
+    highest-step bundle (ties: newest mtime), or None when this is the first
+    attempt.  The reference has no equivalent — a crash there means manually
+    editing ``resume_from`` (SURVEY.md §5 failure detection: "none").
+    """
+    if not os.path.isdir(output_dir):
+        return None
+    # match exactly this job's dirs: {name}-%Y-%m-%dT%H-%M (a job named
+    # "cam" must not pick up "cam-hires-..." checkpoints)
+    pat = re.compile(re.escape(name) + r"-\d{4}-\d{2}-\d{2}T\d{2}-\d{2}$")
+    best: tuple[int, float, str] | None = None
+    for run in os.listdir(output_dir):
+        if run != name and not pat.match(run):
+            continue
+        path = latest_native(os.path.join(output_dir, run, "checkpoints"))
+        if path is None:
+            continue
+        step = int(os.path.basename(path)[5:])
+        key = (step, os.path.getmtime(path), path)
+        if best is None or key[:2] > best[:2]:
+            best = key
+    return best[2] if best else None
 
 
 def latest_native(ckpt_dir: str) -> Optional[str]:

@@ -436,6 +436,12 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     logger_interval = int(config.get("logger_interval", 10))
     global_step = 0
     resume_from = config.get("resume_from")
+    if resume_from == "auto":
+        # crash-restart convenience: resume the newest checkpoint any prior
+        # attempt of this job (same `name`) wrote under output_dir
+        resume_from = ckpt.find_auto_resume(str(config["output_dir"]), name)
+        if resume_from is None:
+            logger.info("resume_from: auto — no prior checkpoint, starting fresh")
     if resume_from:
         # restore_native works from an abstract template — the live state is
         # never fetched to host (gigabytes at full scale)

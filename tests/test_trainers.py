@@ -88,6 +88,30 @@ def test_resume_from_native_checkpoint(fixture_kwargs, tmp_path):
     assert np.isfinite(m2["loss"])
 
 
+def test_resume_from_auto(fixture_kwargs, tmp_path):
+    """``resume_from: auto`` finds the newest checkpoint across the job's
+    timestamped run dirs (crash-restart without editing the config); with no
+    prior attempt it starts fresh."""
+    from synfmc_tpu.training.checkpoint import find_auto_resume
+
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["resume_from"] = "auto"
+    m1 = train("cam", cfg, max_steps_override=2)  # first attempt: fresh
+    assert m1["steps"] == 2
+
+    name = cfg.get("name", "cam-run")
+    found = find_auto_resume(cfg["output_dir"], name)
+    assert found is not None and found.endswith("step-2")
+
+    cfg2 = _config("cam", fixture_kwargs, tmp_path)
+    cfg2["resume_from"] = "auto"
+    m2 = train("cam", cfg2, max_steps_override=4)  # restart: picks up step-2
+    assert m2["steps"] == 4
+    assert np.isfinite(m2["loss"])
+    # a different job name must not see this job's checkpoints
+    assert find_auto_resume(cfg["output_dir"], "other-job") is None
+
+
 def test_empty_loader_raises_clear_error(fixture_kwargs, tmp_path):
     """batch_size > per-host dataset size must fail with a clear message,
     not an escaping StopIteration (found by the full-scale lora smoke)."""
