@@ -78,6 +78,32 @@ def eval_videos(path_a, path_b):
     }
 
 
+def _load_features(path):
+    data = np.load(path)
+    if hasattr(data, "files"):  # npz: take 'features' or the sole array
+        key = "features" if "features" in data.files else data.files[0]
+        data = data[key]
+    return np.asarray(data)
+
+
+def eval_frechet(path_a, path_b):
+    """FID/FVD from precomputed feature arrays (.npy or .npz['features']).
+
+    Features come from the standard extractors (InceptionV3 pool3 -> FID,
+    I3D logits -> FVD; see synfmc_tpu.evaluation.fid.load_torchscript_extractor
+    for running one) — the Fréchet math itself is extractor-agnostic.
+    """
+    from synfmc_tpu.evaluation.fid import fid_from_features
+
+    a, b = _load_features(path_a), _load_features(path_b)
+    return {
+        "frechet_distance": fid_from_features(a, b),
+        "n_a": int(len(a)),
+        "n_b": int(len(b)),
+        "dim": int(a.shape[-1]),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--samples-dir", default=None, help="a samples/{step} validation dir")
@@ -85,6 +111,9 @@ def main():
     p.add_argument("--gt", default=None, help="ground-truth camera label txt")
     p.add_argument("--video-a", default=None)
     p.add_argument("--video-b", default=None)
+    p.add_argument("--features-a", default=None,
+                   help="feature .npy/.npz for FID/FVD (with --features-b)")
+    p.add_argument("--features-b", default=None)
     args = p.parse_args()
 
     result = {}
@@ -94,8 +123,11 @@ def main():
         result["camera_pair"] = eval_label_pair(args.pred, args.gt)
     if args.video_a and args.video_b:
         result["video"] = eval_videos(args.video_a, args.video_b)
+    if args.features_a and args.features_b:
+        result["frechet"] = eval_frechet(args.features_a, args.features_b)
     if not result:
-        p.error("nothing to evaluate: pass --samples-dir, --pred/--gt, or --video-a/--video-b")
+        p.error("nothing to evaluate: pass --samples-dir, --pred/--gt, "
+                "--video-a/--video-b, or --features-a/--features-b")
     print(json.dumps(result, indent=2))
 
 
