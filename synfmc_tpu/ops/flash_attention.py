@@ -28,8 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Max K/V bytes we allow resident per (batch*head) before falling back to XLA.
-_MAX_KV_SEQ = 4096
+# Max K/V rows we allow resident per batch row before falling back to XLA.
+# 8192 covers 512x768 spatial attention (64x96 latents = 6144 tokens); the
+# (BQ, Sk) fp32 intermediates are bounded by the budget-aware block_q below.
+_MAX_KV_SEQ = 8192
 _LANE = 128
 
 
@@ -400,11 +402,24 @@ def _unprep(x3, b, s, h, d):
     return x3.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _pick_block_q(sq_p: int) -> int:
+def _pick_block_q(sq_p: int, sk_p: int | None = None, live: int = 3) -> int:
+    """Largest q-block whose (BQ, Sk) fp32 intermediates stay in budget.
+
+    The kernels materialize ~``live`` full-size (BQ, Sk) fp32 arrays
+    (logits/pu/p fwd; logits/pu/dp/ds + bf16 copies bwd).  For the tuned
+    reference shapes (sk <= 4096) the historical unconditional 512 cap is
+    kept; longer sequences (512x768 serving = 6144 tokens) shrink BQ so the
+    kernel compiles inside the VMEM limit instead of falling back to XLA's
+    materialized-logits path (which OOMs HBM at these shapes).
+    """
+    cap = 512
+    if sk_p is not None and sk_p > 4096:
+        budget = 24 * 1024 * 1024
+        cap = max(8, budget // (sk_p * 4 * live))
     for bq in (512, 256, 128, 64, 32, 16, 8):
-        if sq_p % bq == 0:
+        if bq <= cap and sq_p % bq == 0:
             return bq
-    return sq_p
+    return sq_p  # no divisor <= cap: single block (grid math needs a divisor)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -421,10 +436,10 @@ def _flash_fwd(q, k, v, scale: float, interpret: bool = False):
         q2 = q.reshape(b, sq, h * d)
         k2 = k.reshape(b, sk, h * d)
         v2 = v.reshape(b, sk, h * d)
-        o2 = _fwd_packed(q2, k2, v2, scale, h, _pick_block_q(sq), interpret=interpret)
+        o2 = _fwd_packed(q2, k2, v2, scale, h, _pick_block_q(sq, sk), interpret=interpret)
         return o2.reshape(b, sq, h, d), (q, k, v)
     q3, k3, v3 = _prep(q), _prep(k), _prep(v)
-    block_q = _pick_block_q(q3.shape[1])
+    block_q = _pick_block_q(q3.shape[1], k3.shape[1])
     o3 = _fwd(q3, k3, v3, scale, block_q, sk, interpret=interpret)
     return _unprep(o3, b, sq, h, d), (q, k, v)
 
@@ -436,7 +451,8 @@ def _flash_bwd(scale, interpret, res, g):
     if sq % 8 == 0 and sk % 8 == 0:
         dq2, dk2, dv2 = _bwd_packed(
             q.reshape(b, sq, h * d), k.reshape(b, sk, h * d), v.reshape(b, sk, h * d),
-            g.reshape(b, sq, h * d), scale, h, _pick_block_q(sq), interpret=interpret,
+            g.reshape(b, sq, h * d), scale, h,
+            _pick_block_q(sq, sk, live=6), interpret=interpret,
         )
         return (
             dq2.reshape(b, sq, h, d).astype(q.dtype),
@@ -444,7 +460,7 @@ def _flash_bwd(scale, interpret, res, g):
             dv2.reshape(b, sk, h, d).astype(v.dtype),
         )
     q3, k3, v3, g3 = _prep(q), _prep(k), _prep(v), _prep(g)
-    block_q = _pick_block_q(q3.shape[1])
+    block_q = _pick_block_q(q3.shape[1], k3.shape[1], live=6)
     dq3, dk3, dv3 = _bwd(q3, k3, v3, g3, scale, block_q, sk, interpret=interpret)
     return (
         _unprep(dq3, b, sq, h, d).astype(q.dtype),
