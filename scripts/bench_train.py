@@ -34,6 +34,8 @@ def main():
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=384)
     p.add_argument("--remat", choices=["full", "dots", "none"], default="none",
                    help="gradient-checkpointing mode: none (the production "
                         "default — fits b=1 full scale and is 17% faster), "
@@ -48,7 +50,7 @@ def main():
     from synfmc_tpu.training.trainers import build_models
 
     config = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "cam.yaml"))
-    h, w = 256, 384
+    h, w = args.height, args.width
     b, f = args.batch, args.frames
     models = build_models(config, "cam", dtype=jnp.bfloat16)
     schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
