@@ -20,15 +20,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(num_data: Optional[int] = None, num_fsdp: int = 1, devices=None) -> Mesh:
-    """Mesh over all (or given) devices with ('data', 'fsdp') axes."""
+def create_mesh(num_data: Optional[int] = None, num_fsdp: int = 1, num_sp: int = 1,
+                devices=None) -> Mesh:
+    """Training mesh with ('data', 'fsdp', 'sp') axes.
+
+    ``sp`` shards the FRAME axis of the batch during TRAINING (the serving
+    analog lives in create_serving_mesh): activations — the thing that OOMs
+    HBM at high resolution, PERF.md's 512x768 measurement — shrink by sp,
+    while frame-local ops (conv/GN/spatial attention, ~90% of FLOPs) stay
+    communication-free and GSPMD inserts the temporal-attention and gradient
+    collectives.  The folded (b·f) spatial batch keeps a contiguous
+    P('data','sp') partition iff each data shard holds ONE batch row, so use
+    sp only with per-shard batch 1 (exactly the memory-bound case).
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     if num_data is None:
-        num_data = devices.size // num_fsdp
-    assert num_data * num_fsdp == devices.size, (
-        f"{devices.size} devices cannot form a {num_data}x{num_fsdp} mesh"
+        num_data = devices.size // (num_fsdp * num_sp)
+    assert num_data * num_fsdp * num_sp == devices.size, (
+        f"{devices.size} devices cannot form a {num_data}x{num_fsdp}x{num_sp} mesh"
     )
-    return Mesh(devices.reshape(num_data, num_fsdp), axis_names=("data", "fsdp"))
+    return Mesh(devices.reshape(num_data, num_fsdp, num_sp),
+                axis_names=("data", "fsdp", "sp"))
 
 
 def create_serving_mesh(num_data: Optional[int] = None, num_sp: int = 1, devices=None) -> Mesh:
@@ -73,6 +85,8 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """
     s = batch_sharding(mesh)
     r = replicated(mesh)
+    nsp = mesh.shape.get("sp", 1)
+    s2 = NamedSharding(mesh, P("data", "sp")) if nsp > 1 else s
     nproc = jax.process_count()
 
     def put(x):
@@ -80,9 +94,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         shardable = x.ndim >= 1 and (x.shape[0] * nproc) % mesh.shape["data"] == 0
         if not shardable:
             return jax.device_put(x, r)
+        # frame axis over 'sp' where it divides (pixels, masks, camera_rt,
+        # intrinsics, obj_info all carry frames on axis 1; token arrays like
+        # input_ids (B, 77) don't divide and stay data-only)
+        sh = s2 if (nsp > 1 and x.ndim >= 2 and x.shape[1] % nsp == 0) else s
         if nproc == 1:
-            return jax.device_put(x, s)
-        return jax.make_array_from_process_local_data(s, x)
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, x)
 
     return jax.tree_util.tree_map(put, batch)
 

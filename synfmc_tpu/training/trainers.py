@@ -384,7 +384,9 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     # weights stay replicated — they have no optimizer state and are read-only)
     mesh_cfg = dict(config.get("mesh") or {})
     num_fsdp = int(mesh_cfg.get("fsdp", 1))
-    mesh = create_mesh(num_data=mesh_cfg.get("data"), num_fsdp=num_fsdp)
+    num_sp = int(mesh_cfg.get("sp", 1))  # frame-axis activation sharding
+    mesh = create_mesh(num_data=mesh_cfg.get("data"), num_fsdp=num_fsdp,
+                       num_sp=num_sp)
     logger.info(f"mesh: {dict(mesh.shape)}")
     state = shard_over_fsdp(state, mesh)
     frozen = replicate(frozen, mesh)

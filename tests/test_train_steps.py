@@ -178,7 +178,7 @@ def test_stage2_fsdp_sharded_matches_replicated(cam_setup, rng):
     step_fn = make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg)
 
     mesh = create_mesh(num_fsdp=2)  # (data=4, fsdp=2)
-    assert dict(mesh.shape) == {"data": 4, "fsdp": 2}
+    assert dict(mesh.shape) == {"data": 4, "fsdp": 2, "sp": 1}
     raw = _video_batch(rng, b=4)
     batch = shard_batch(raw, mesh)
     frozen = replicate(frozen0, mesh)
@@ -205,6 +205,60 @@ def test_stage2_fsdp_sharded_matches_replicated(cam_setup, rng):
     for a, b in zip(jax.tree_util.tree_leaves(s_sh.trainable),
                     jax.tree_util.tree_leaves(s_rep.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_stage2_sp_sharded_training_matches_replicated(cam_setup, rng):
+    """Frame-axis (sp) activation sharding in TRAINING: same update as the
+    unsharded step, and the partitioned executable does ~1/N of the per-
+    device FLOPs (the point: activations shrink by sp, which is what OOMs
+    at 512x768 on one chip — PERF.md)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from synfmc_tpu.parallel import (
+        create_mesh, replicate, shard_batch, shard_over_fsdp, state_shardings,
+    )
+
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    tx = make_optimizer(1e-4)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+    state0 = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+    frozen0 = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    step_fn = make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg)
+
+    raw = _video_batch(rng, b=2)
+
+    # unsharded reference (single default device)
+    s_ref, m_ref = jax.jit(step_fn)(state0, frozen0, raw, jax.random.PRNGKey(5))
+
+    # sp mesh: data=2 (one batch row per data shard — the fold-contiguity
+    # rule), sp=2 over the F=2 frames, fsdp=2 composing with ZeRO
+    mesh = create_mesh(num_data=2, num_fsdp=2, num_sp=2)
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "sp": 2}
+    batch = shard_batch(raw, mesh)
+    assert batch["pixel_values"].sharding.spec == P("data", "sp")
+    assert batch["input_ids"].sharding.spec == P("data")  # 77 tokens: no sp
+    frozen = replicate(frozen0, mesh)
+    sh_state = shard_over_fsdp(state0, mesh)
+    jit_sh = jax.jit(step_fn, out_shardings=(state_shardings(sh_state),
+                                             NamedSharding(mesh, P())))
+    s_sh, m_sh = jit_sh(sh_state, frozen, batch, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sh.trainable),
+                    jax.tree_util.tree_leaves(s_ref.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+    # per-device compute actually shrinks: partitioned flops << unsharded
+    def flops(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+
+    f_ref = flops(jax.jit(step_fn).lower(state0, frozen0, raw, jax.random.PRNGKey(5)).compile())
+    f_sh = flops(jit_sh.lower(sh_state, frozen, batch, jax.random.PRNGKey(5)).compile())
+    assert f_sh < 0.45 * f_ref, (f_sh, f_ref)  # ideal 0.25 at data*sp=4 + collectives
 
 
 def test_stage3_obj_step(cam_setup, rng):

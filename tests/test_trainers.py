@@ -131,3 +131,15 @@ def test_train_honors_mesh_fsdp_knob(fixture_kwargs, tmp_path):
     assert metrics["steps"] == 2
     assert np.isfinite(metrics["loss"])
     assert glob.glob(os.path.join(metrics["run_dir"], "checkpoints", "*.ckpt"))
+
+
+def test_train_honors_mesh_sp_knob(fixture_kwargs, tmp_path):
+    """`mesh: {data: 2, sp: 4}` shards the frame axis of training
+    activations (the high-resolution HBM lever, PERF.md) end-to-end through
+    the production trainer."""
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["train_batch_size"] = 2
+    cfg["mesh"] = {"data": 2, "sp": 4}  # frames=4 split over sp
+    metrics = train("cam", cfg, max_steps_override=2)
+    assert metrics["steps"] == 2
+    assert np.isfinite(metrics["loss"])
