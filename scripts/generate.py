@@ -55,6 +55,9 @@ def main():
                    help="CFG-cache interval: recompute the uncond CFG branch "
                         "every Nth step only (1 = exact; mutually exclusive "
                         "with --deepcache > 1)")
+    p.add_argument("--turbo", type=int, default=0, metavar="N",
+                   help="shorthand for --deepcache N --cfg-cache N (the "
+                        "composed cache mode, PERF.md: ~2x steps/s at N=3)")
     p.add_argument("--decode-chunk", type=int, default=1, metavar="K",
                    help="VAE-decode K frames per step instead of 1 (same "
                         "math — the VAE is frame-independent — but batched "
@@ -65,6 +68,8 @@ def main():
                         "quality in roughly half the steps, e.g. "
                         "--solver dpmpp_2m --num-inference-steps 12)")
     args = p.parse_args()
+    if args.turbo:
+        args.deepcache = args.cfg_cache = args.turbo
 
     import jax
 

@@ -116,6 +116,33 @@ big = [x for x in jax.tree_util.tree_leaves(state.trainable)
 assert big and all(x.sharding.spec == PartitionSpec("fsdp") for x in big), \
     "fsdp sharding did not persist through the train step"
 
+# ---- sp (frame-axis) activation sharding across processes: the 2-axis
+# P('data','sp') batch spec must assemble from process-local data and the
+# step must produce identical losses on both ranks (SPMD)
+mesh_sp = create_mesh(num_data=4, num_fsdp=1, num_sp=2)
+state_sp = shard_over_fsdp(
+    init_train_state({"unet": t_unet, "pose_encoder": pose_v["params"]}, tx), mesh_sp)
+frozen_sp = replicate(frozen, mesh_sp)
+step_sp = jax.jit(make_cam_train_step(unet, pose_enc, vae, text,
+                                      DiffusionSchedule.from_config(), tx, cfg),
+                  out_shardings=(state_shardings(state_sp),
+                                 NamedSharding(mesh_sp, PartitionSpec())))
+rng = np.random.default_rng(77 * (pid + 1))
+local = {
+    "pixel_values": rng.normal(size=(B_LOCAL, F, H, W, 3)).astype(np.float32).clip(-1, 1),
+    "camera_rt": rng.normal(size=(B_LOCAL, F, 12)).astype(np.float32),
+    "intrinsics": np.broadcast_to(np.array([W, H, 0, 0], np.float32), (B_LOCAL, F, 4)).copy(),
+    "obj_union_mask": (rng.uniform(size=(B_LOCAL, F, H, W, 1)) > 0.7).astype(np.float32),
+    "input_ids": np.asarray(tok([f"sp {pid} {j}" for j in range(B_LOCAL)])),
+    "background_ids": np.asarray(tok(["a forest"] * B_LOCAL)),
+    "null_ids": np.asarray(tok([""])[0]),
+}
+batch_sp = shard_batch(local, mesh_sp)
+assert batch_sp["pixel_values"].sharding.spec == PartitionSpec("data", "sp"), (
+    batch_sp["pixel_values"].sharding)
+_, m_sp = step_sp(state_sp, frozen_sp, batch_sp, jax.random.PRNGKey(99))
+print(f"sp loss={float(m_sp['loss']):.6f}", flush=True)
+
 # per-rank log files: rank 0 writes log.txt, rank N writes log.txt.rankN
 # (utils/util.py:108-116 parity) — worker-host logs must not vanish
 from synfmc_tpu.utils.logger import setup_logger  # noqa: E402

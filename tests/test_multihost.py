@@ -54,6 +54,12 @@ def test_two_process_data_parallel_stays_in_sync(tmp_path):
     # trainable checksum on both processes after every step
     assert lines[0] == lines[1], f"\nproc0: {lines[0]}\nproc1: {lines[1]}"
 
+    # sp (frame-axis) sharded step: 2-axis P('data','sp') batch assembled
+    # from process-local data; both ranks must see the identical loss
+    sp_lines = [[ln for ln in o.splitlines() if ln.startswith("sp loss=")] for o in outs]
+    assert sp_lines[0] and sp_lines[0] == sp_lines[1], (
+        f"\nproc0: {sp_lines[0]}\nproc1: {sp_lines[1]}")
+
     # per-rank log files (utils/util.py:108-116): rank 0 -> log.txt,
     # rank 1 -> log.txt.rank1 — non-main logs must not vanish
     assert (tmp_path / "log.txt").exists()
