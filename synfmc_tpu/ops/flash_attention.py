@@ -29,9 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Max K/V rows we allow resident per batch row before falling back to XLA.
-# 8192 covers 512x768 spatial attention (64x96 latents = 6144 tokens); the
-# (BQ, Sk) fp32 intermediates are bounded by the budget-aware block_q below.
-_MAX_KV_SEQ = 8192
+# 16384 covers 1024x1024 spatial attention (128x128 latents); 6144 is the
+# 512x768 case.  The (BQ, Sk) fp32 intermediates are bounded by the
+# KV-aware budget in _pick_block_q below.
+_MAX_KV_SEQ = 16384
 _LANE = 128
 
 
@@ -49,6 +50,11 @@ def flash_supported(q, k, v) -> bool:
     if sk > _MAX_KV_SEQ:
         return False
     if d > 256:
+        return False
+    # resident K/V must leave VMEM room for the q/o blocks + intermediates
+    esize = 2 if q.dtype in (jnp.bfloat16, jnp.float16) else 4
+    kv_bytes = 2 * sk * max(h * d, _pad_to(d, _LANE)) * esize
+    if kv_bytes > 28 * 1024 * 1024:
         return False
     return True
 
@@ -402,19 +408,23 @@ def _unprep(x3, b, s, h, d):
     return x3.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _pick_block_q(sq_p: int, sk_p: int | None = None, live: int = 3) -> int:
+def _pick_block_q(sq_p: int, sk_p: int | None = None, live: int = 3,
+                  kv_bytes: int = 0, scratch_bytes: int = 0) -> int:
     """Largest q-block whose (BQ, Sk) fp32 intermediates stay in budget.
 
     The kernels materialize ~``live`` full-size (BQ, Sk) fp32 arrays
-    (logits/pu/p fwd; logits/pu/dp/ds + bf16 copies bwd).  For the tuned
-    reference shapes (sk <= 4096) the historical unconditional 512 cap is
-    kept; longer sequences (512x768 serving = 6144 tokens) shrink BQ so the
-    kernel compiles inside the VMEM limit instead of falling back to XLA's
-    materialized-logits path (which OOMs HBM at these shapes).
+    (logits/pu/p fwd; logits/pu/dp/ds + bf16 copies bwd) next to the
+    VMEM-resident K/V (``kv_bytes``) and any dK/dV accumulators
+    (``scratch_bytes``).  For the tuned reference shapes (sk <= 4096) the
+    historical unconditional 512 cap is kept; longer sequences (512x768 =
+    6144 tokens, 1024x1024 = 16384) shrink BQ so the kernel compiles inside
+    the VMEM limit instead of falling back to XLA's materialized-logits
+    path (which OOMs HBM at these shapes — on-chip A/B at 6144 showed the
+    budget choice is also the fastest, PERF.md).
     """
     cap = 512
     if sk_p is not None and sk_p > 4096:
-        budget = 24 * 1024 * 1024
+        budget = max(40 * 1024 * 1024 - kv_bytes - scratch_bytes, 2 * 1024 * 1024)
         cap = max(8, budget // (sk_p * 4 * live))
     for bq in (512, 256, 128, 64, 32, 16, 8):
         if bq <= cap and sq_p % bq == 0:
@@ -436,10 +446,14 @@ def _flash_fwd(q, k, v, scale: float, interpret: bool = False):
         q2 = q.reshape(b, sq, h * d)
         k2 = k.reshape(b, sk, h * d)
         v2 = v.reshape(b, sk, h * d)
-        o2 = _fwd_packed(q2, k2, v2, scale, h, _pick_block_q(sq, sk), interpret=interpret)
+        esize = 2 if q.dtype in (jnp.bfloat16, jnp.float16) else 4
+        bq = _pick_block_q(sq, sk, kv_bytes=2 * sk * h * d * esize)
+        o2 = _fwd_packed(q2, k2, v2, scale, h, bq, interpret=interpret)
         return o2.reshape(b, sq, h, d), (q, k, v)
     q3, k3, v3 = _prep(q), _prep(k), _prep(v)
-    block_q = _pick_block_q(q3.shape[1], k3.shape[1])
+    esize = 2 if q.dtype in (jnp.bfloat16, jnp.float16) else 4
+    block_q = _pick_block_q(q3.shape[1], k3.shape[1],
+                            kv_bytes=2 * k3.shape[1] * k3.shape[2] * esize)
     o3 = _fwd(q3, k3, v3, scale, block_q, sk, interpret=interpret)
     return _unprep(o3, b, sq, h, d), (q, k, v)
 
@@ -449,10 +463,12 @@ def _flash_bwd(scale, interpret, res, g):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if sq % 8 == 0 and sk % 8 == 0:
+        esize = 2 if q.dtype in (jnp.bfloat16, jnp.float16) else 4
+        bq = _pick_block_q(sq, sk, live=6, kv_bytes=2 * sk * h * d * esize,
+                           scratch_bytes=2 * sk * h * d * 4)
         dq2, dk2, dv2 = _bwd_packed(
             q.reshape(b, sq, h * d), k.reshape(b, sk, h * d), v.reshape(b, sk, h * d),
-            g.reshape(b, sq, h * d), scale, h,
-            _pick_block_q(sq, sk, live=6), interpret=interpret,
+            g.reshape(b, sq, h * d), scale, h, bq, interpret=interpret,
         )
         return (
             dq2.reshape(b, sq, h, d).astype(q.dtype),
@@ -460,7 +476,10 @@ def _flash_bwd(scale, interpret, res, g):
             dv2.reshape(b, sk, h, d).astype(v.dtype),
         )
     q3, k3, v3, g3 = _prep(q), _prep(k), _prep(v), _prep(g)
-    block_q = _pick_block_q(q3.shape[1], k3.shape[1], live=6)
+    esize = 2 if q.dtype in (jnp.bfloat16, jnp.float16) else 4
+    block_q = _pick_block_q(q3.shape[1], k3.shape[1], live=6,
+                            kv_bytes=2 * k3.shape[1] * k3.shape[2] * esize,
+                            scratch_bytes=2 * k3.shape[1] * k3.shape[2] * 4)
     dq3, dk3, dv3 = _bwd(q3, k3, v3, g3, scale, block_q, sk, interpret=interpret)
     return (
         _unprep(dq3, b, sq, h, d).astype(q.dtype),

@@ -38,12 +38,15 @@ def test_flash_block_q_budget():
     fallback materializes B,H,S,S logits and OOMs HBM there)."""
     from synfmc_tpu.ops.flash_attention import _MAX_KV_SEQ, _pick_block_q, flash_supported
 
+    kv6 = 2 * 6144 * 320 * 2   # bf16 K+V at the 512x768 shape
+    kv16 = 2 * 16384 * 320 * 2  # 1024x1024
     assert _pick_block_q(1536) == 512          # tuned reference shapes: unchanged
     assert _pick_block_q(4096, 4096) == 512
-    assert _pick_block_q(6144, 6144) <= 341    # fwd budget
-    assert _pick_block_q(6144, 6144, live=6) <= 170  # bwd budget
-    assert _pick_block_q(6144, 6144) >= 8
-    assert _MAX_KV_SEQ >= 6144
+    assert _pick_block_q(6144, 6144, kv_bytes=kv6) == 256   # measured optimum (PERF.md)
+    assert _pick_block_q(6144, 6144, live=6, kv_bytes=kv6,
+                         scratch_bytes=2 * 6144 * 320 * 4) <= 128  # bwd budget
+    assert 8 <= _pick_block_q(16384, 16384, kv_bytes=kv16) <= 128
+    assert _MAX_KV_SEQ >= 16384
     q = jnp.zeros((1, 6144, 8, 40))
     # gate accepts the 512x768 spatial shape on TPU backends; on this CPU
     # test mesh it reports False only because of the backend check
