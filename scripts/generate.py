@@ -79,74 +79,22 @@ def main():
     import numpy as np
 
     from synfmc_tpu.config import load_config
-    from synfmc_tpu.data.tokenizer import load_tokenizer
-    from synfmc_tpu.diffusion import DiffusionSchedule
     from synfmc_tpu.geometry.plucker import plucker_embedding
-    from synfmc_tpu.pipelines import AnimationPipeline
-    from synfmc_tpu.training import checkpoint as ckpt
-    from synfmc_tpu.training.trainers import build_models, init_params, load_pretrained
-    from synfmc_tpu.utils.logger import setup_logger
+    from synfmc_tpu.pipelines.factory import build_pipeline
     from synfmc_tpu.utils.video import save_videos_grid
 
     config = load_config(args.config)
-    for key, val in (("lora_ckpt", args.lora_ckpt), ("pretrained_cm_path", args.cm_ckpt)):
-        if val:
-            config[key] = val
-    logger = setup_logger(None, 0)
-
-    stage = "obj" if args.omcm_ckpt else "cam"
-    if args.allow_untrained_cm:
-        config["allow_untrained_cm"] = True
-    # Stage-3 inference with a random pose encoder produces garbage while
-    # looking healthy; the reference hard-asserts a trained CMC checkpoint
-    # (train_cam_obj_ctrl.py:280).  Same fail-fast guard as train().
-    from synfmc_tpu.training.trainers import validate_pretrained_paths
-
-    validate_pretrained_paths(config, stage)
-    train_params = config.get_path("train_data.params", {}) or {}
-    sample_size = tuple(train_params.get("sample_size", (256, 384)))
-    dtype = jnp.bfloat16 if config.get("mixed_precision_training", True) else jnp.float32
-
-    models = build_models(config, stage, dtype=dtype)
-    params = init_params(models, config, stage, jax.random.PRNGKey(args.seed),
-                         sample_size, args.video_length)
-    params = load_pretrained(params, config, stage, logger)
-    if args.omcm_ckpt:
-        bundle = ckpt.torch_load_state_dict(args.omcm_ckpt)
-        params["adapter"] = ckpt.load_into_params(
-            params["adapter"], bundle["omcm_state_dict"], "adapter"
-        )
-
-    schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
-    mesh = None
-    if args.frame_parallel:
-        from synfmc_tpu.parallel import create_serving_mesh
-
-        ndata = 2 * len(args.prompt)  # CFG pair rides 'data' (see pipelines/animation.py)
-        mesh = create_serving_mesh(
-            num_data=ndata, num_sp=args.frame_parallel,
-            devices=jax.devices()[: ndata * args.frame_parallel],
-        )
-    elif args.data_parallel:
-        from synfmc_tpu.parallel import create_mesh
-
-        mesh = create_mesh(num_data=args.data_parallel,
-                           devices=jax.devices()[: args.data_parallel])
-    pipe = AnimationPipeline(
-        unet=models["unet"], unet_params={"params": params["unet"]},
-        vae=models["vae"], vae_params={"params": params["vae"]},
-        text_encoder=models["text"], text_params={"params": params["text"]},
-        tokenizer=load_tokenizer(config.get("pretrained_model_path"),
-                                 strict=bool(config.get("strict_pretrained", False))),
-        schedule=schedule,
-        pose_encoder=models.get("pose_encoder"),
-        pose_encoder_params={"params": params["pose_encoder"]} if "pose_encoder" in params else None,
-        adapter=models.get("adapter"),
-        adapter_params={"params": params.get("adapter")} if "adapter" in params else None,
-        mesh=mesh,
+    pipe, info = build_pipeline(
+        config,
+        seed=args.seed, video_length=args.video_length,
+        lora_ckpt=args.lora_ckpt, cm_ckpt=args.cm_ckpt, omcm_ckpt=args.omcm_ckpt,
+        allow_untrained_cm=args.allow_untrained_cm,
+        data_parallel=args.data_parallel, frame_parallel=args.frame_parallel,
+        batch=len(args.prompt),
     )
+    models = info["models"]
 
-    h, w = sample_size
+    h, w = info["sample_size"]
     f = args.video_length
     plucker = None
     if "pose_encoder" in models:

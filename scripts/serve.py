@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Minimal production serving daemon for camera/object-controlled video.
+
+The reference has no serving story (its pipelines run only inside training
+validation); this daemon wraps the same AnimationPipeline the CLI uses
+behind a dependency-free HTTP API, with the compile done once at startup
+(optional --warmup) and requests serialized onto the chip.
+
+  python scripts/serve.py --config configs/cam.yaml --cm-ckpt ... \
+      [--turbo 3] [--solver dpmpp_2m] [--port 8000] [--warmup]
+
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /generate           -> image/gif bytes
+       JSON body: {"prompt": "a red car drives" | [...],
+                   "num_inference_steps": 25, "guidance_scale": 8.0,
+                   "seed": 42, "video_length": 16,
+                   "camera_txt": "<camera label txt content>"}  # optional
+
+camera_txt uses the reference's camera label txt format (the same file
+format train_cam_ctrl.py:41-74 dumps and generate.py --camera-txt reads);
+omitted -> a neutral straight-ahead trajectory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _build(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from synfmc_tpu.config import load_config
+    from synfmc_tpu.pipelines.factory import build_pipeline
+
+    config = load_config(args.config)
+    pipe, info = build_pipeline(
+        config,
+        seed=args.seed, video_length=args.video_length,
+        lora_ckpt=args.lora_ckpt, cm_ckpt=args.cm_ckpt, omcm_ckpt=args.omcm_ckpt,
+        allow_untrained_cm=args.allow_untrained_cm,
+    )
+    return config, pipe, info
+
+
+def _plucker_for(pipe, info, prompts, video_length, camera_txt):
+    import jax.numpy as jnp
+    import numpy as np
+
+    if pipe.pose_encoder is None:
+        return None
+    h, w = info["sample_size"]
+    b, f = len(prompts), video_length
+    if camera_txt:
+        import tempfile
+
+        from synfmc_tpu.evaluation.metrics import parse_camera_txt
+
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as tf:
+            tf.write(camera_txt)
+            path = tf.name
+        try:
+            intr, rts = parse_camera_txt(path)
+        finally:
+            os.unlink(path)
+        c2w = np.tile(np.eye(4, dtype=np.float32), (len(rts), 1, 1))
+        c2w[:, :3, :] = rts
+        intr = jnp.asarray(np.tile(intr[None], (b, 1, 1)), jnp.float32)
+        c2w = jnp.asarray(np.tile(c2w[None], (b, 1, 1, 1)), jnp.float32)
+    else:
+        intr = jnp.broadcast_to(jnp.asarray([w, h, 0, 0], jnp.float32), (b, f, 4))
+        c2w = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, f, 4, 4))
+
+    from synfmc_tpu.geometry.plucker import plucker_embedding
+
+    return plucker_embedding(intr, c2w, h, w)
+
+
+def make_handler(args, config, pipe, info, lock):
+    from http.server import BaseHTTPRequestHandler
+
+    import jax
+    import numpy as np
+
+    from synfmc_tpu.utils.video import save_videos_grid
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through stdout, one line
+            print(f"# serve: {fmt % a}", flush=True)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "stage": info["stage"],
+                                 "sample_size": list(info["sample_size"]),
+                                 "backend": jax.default_backend()})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompts = req.get("prompt") or req.get("prompts")
+                if isinstance(prompts, str):
+                    prompts = [prompts]
+                if not prompts:
+                    self._json(400, {"error": "missing 'prompt'"})
+                    return
+                f = int(req.get("video_length", args.video_length))
+                steps = int(req.get("num_inference_steps", args.num_inference_steps))
+                guidance = float(req.get("guidance_scale", 8.0))
+                seed = int(req.get("seed", args.seed))
+                h, w = info["sample_size"]
+                t0 = time.time()
+                with lock:  # one request on the chip at a time
+                    plucker = _plucker_for(pipe, info, prompts, f,
+                                           req.get("camera_txt"))
+                    video = pipe(
+                        prompts, video_length=f, height=h, width=w,
+                        num_inference_steps=steps, guidance_scale=guidance,
+                        rng=jax.random.PRNGKey(seed), plucker=plucker,
+                        deepcache_interval=args.deepcache,
+                        cfg_cache_interval=args.cfg_cache,
+                        solver=args.solver,
+                        decode_chunk=args.decode_chunk,
+                    )
+                    video = np.asarray(video)
+                buf = io.BytesIO()
+                # save_videos_grid writes files; give it a temp path, read back
+                import tempfile
+
+                with tempfile.TemporaryDirectory() as td:
+                    p = os.path.join(td, "out.gif")
+                    save_videos_grid(video, p)
+                    with open(p, "rb") as fh:
+                        buf.write(fh.read())
+                data = buf.getvalue()
+                print(f"# serve: generated {len(prompts)} clip(s) x {f}f in "
+                      f"{time.time() - t0:.1f}s ({len(data)} bytes)", flush=True)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/gif")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--lora-ckpt", default=None)
+    p.add_argument("--cm-ckpt", default=None)
+    p.add_argument("--omcm-ckpt", default=None)
+    p.add_argument("--allow-untrained-cm", action="store_true")
+    p.add_argument("--video-length", type=int, default=16)
+    p.add_argument("--num-inference-steps", type=int, default=25)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--deepcache", type=int, default=1)
+    p.add_argument("--cfg-cache", type=int, default=1)
+    p.add_argument("--turbo", type=int, default=0,
+                   help="shorthand for --deepcache N --cfg-cache N")
+    p.add_argument("--solver", choices=("ddim", "dpmpp_2m"), default="ddim")
+    p.add_argument("--decode-chunk", type=int, default=1)
+    p.add_argument("--warmup", action="store_true",
+                   help="run one generation at startup so the first request "
+                        "doesn't pay the compile")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend (tests)")
+    args = p.parse_args()
+    if args.turbo:
+        args.deepcache = args.cfg_cache = args.turbo
+
+    config, pipe, info = _build(args)
+    lock = threading.Lock()
+
+    if args.warmup:
+        import jax
+
+        t0 = time.time()
+        h, w = info["sample_size"]
+        pl = _plucker_for(pipe, info, ["warmup"], args.video_length, None)
+        pipe(["warmup"], video_length=args.video_length, height=h, width=w,
+             num_inference_steps=args.num_inference_steps,
+             rng=jax.random.PRNGKey(0), plucker=pl,
+             deepcache_interval=args.deepcache, cfg_cache_interval=args.cfg_cache,
+             solver=args.solver, decode_chunk=args.decode_chunk)
+        print(f"# serve: warmup compile done in {time.time() - t0:.0f}s", flush=True)
+
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(args, config, pipe, info, lock))
+    print(f"# serve: listening on {args.host}:{server.server_address[1]} "
+          f"(stage={info['stage']})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Serving daemon smoke test (scripts/serve.py): healthz + one generation."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+import yaml
+
+pytestmark = pytest.mark.e2e
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_serve_generate(tmp_path):
+    cfg = {
+        "output_dir": str(tmp_path),
+        "mixed_precision_training": False,
+        "model_overrides": {
+            "block_out_channels": [32, 64, 128, 128],
+            "cross_attention_dim": 32,
+            "attn_heads": 4,
+            "vae_channels": [32, 32, 32, 32],
+            "text": {"vocab_size": 49408, "hidden_size": 32, "num_layers": 1, "num_heads": 2},
+        },
+        "unet_additional_kwargs": {
+            "use_motion_module": True,
+            "motion_module_kwargs": {"num_attention_heads": 4},
+        },
+        "pose_encoder_kwargs": {"temporal_attention_nhead": 4},
+        "train_data": {"params": {"sample_size": [64, 128], "sample_n_frames": 4}},
+        "noise_scheduler_kwargs": {"beta_schedule": "linear"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    port = "8777"
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--config", str(cfg_path),
+         "--port", port, "--cpu", "--video-length", "4",
+         "--num-inference-steps", "2", "--turbo", "2"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # wait for startup (model init on one CPU core)
+        deadline = time.time() + 420
+        health = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                _, err = proc.communicate()
+                raise AssertionError(f"server died: {err[-2000:]}")
+            try:
+                with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                time.sleep(2)
+        assert health and health["status"] == "ok", health
+        assert health["sample_size"] == [64, 128]
+
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"prompt": "a red robot walks", "video_length": 4,
+                             "num_inference_steps": 2, "seed": 7}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=420) as r:
+            assert r.headers["Content-Type"] == "image/gif"
+            data = r.read()
+        assert data[:6] in (b"GIF87a", b"GIF89a"), data[:16]
+
+        # malformed request -> JSON error, server stays alive
+        bad = urllib.request.Request(base + "/generate", data=b"{}",
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "prompt" in json.loads(e.read())["error"]
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
