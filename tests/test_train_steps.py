@@ -304,7 +304,12 @@ def test_stage2_overfits_one_batch(cam_setup, rng):
         apply_masked_loss=False, cfg_random_null_text_ratio=0.0,
         background_caption_prob=0.0, sample_height=H, sample_width=W,
     )
-    state = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+    # donate_argnums deletes the state's buffers — copy them first, or the
+    # donation would destroy the module-scoped fixture's param arrays for
+    # every later test in a full single-process run
+    state = init_train_state(
+        jax.tree.map(jnp.copy, {"unet": trainable_unet, "pose_encoder": pose_v["params"]}), tx
+    )
     frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
     step = jax.jit(
         make_cam_train_step(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), tx, cfg),
