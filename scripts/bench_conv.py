@@ -74,6 +74,47 @@ def im2col_conv(x, w):
     return y.reshape(b, h, wd, -1)
 
 
+# --- Winograd F(2x2, 3x3): the algorithmic lever -------------------------
+# Direct conv does 2*9*M*C*K FLOPs; Winograd's 16 batched GEMMs do
+# 2*16*(M/4)*C*K = 4/9 of that (2.25x fewer multiplies), so its *effective*
+# throughput (counted against direct-conv FLOPs) can exceed the measured
+# 86.5 TF/s dependent-chain MXU ceiling.  bf16 tiles / f32 accumulate; the
+# transform matrices are exact in bf16 (entries 0, +-1, +-0.5).
+_BT = np.array([[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32)
+_G = np.array([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32)
+_AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+# combined 2D transforms, tile dims flattened row-major
+_T_IN = np.einsum("pa,qb->pqab", _BT, _BT).reshape(16, 16)
+_T_OUT = np.einsum("ip,jq->ijpq", _AT, _AT).reshape(4, 16)
+
+
+def winograd_weights(w):
+    """(3,3,C,K) -> (16,C,K) transformed weights (precomputed: static at inference)."""
+    u = jnp.einsum("pa,qb,abck->pqck", _G, _G, w.astype(jnp.float32))
+    return u.reshape(16, w.shape[2], w.shape[3]).astype(w.dtype)
+
+
+def winograd_conv(x, u):
+    """same-padded 3x3 conv via F(2x2,3x3); x (B,H,W,C) with even H,W; u (16,C,K)."""
+    b, h, wd, c = x.shape
+    th, tw = h // 2, wd // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 16 stride-2 taps: tile (i,j) element (a,b) = xp[:, 2i+a, 2j+b, :]
+    taps = [
+        xp[:, a:a + 2 * th:2, bb:bb + 2 * tw:2, :].reshape(b * th * tw, c)
+        for a in range(4) for bb in range(4)
+    ]
+    v = jnp.stack(taps)  # (16, M, C)
+    vt = jnp.einsum("px,xmc->pmc", jnp.asarray(_T_IN, x.dtype), v)
+    m = jax.lax.dot_general(
+        vt, u, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (16, M, K): the FLOP core — 16 batched GEMMs
+    y4 = jnp.einsum("op,pmk->omk", jnp.asarray(_T_OUT, np.float32), m)  # (4, M, K)
+    k = y4.shape[-1]
+    y = y4.reshape(2, 2, b, th, tw, k).transpose(2, 3, 0, 4, 1, 5).reshape(b, h, wd, k)
+    return y
+
+
 def timed_scan(conv_fn, x, w, iters: int) -> float:
     """Wall seconds for `iters` convs CHAINED in one lax.scan.
 
@@ -133,11 +174,18 @@ def main() -> None:
         xi8 = jax.random.randint(kx, (B, h, wd, c), -127, 127, jnp.int8)
         wi8 = jax.random.randint(kw, (3, 3, c, c), -127, 127, jnp.int8)
         fl = conv_flops(h, wd, c)
+        uf = winograd_weights(wf)
+        # correctness: winograd vs f32 direct conv, relative error
+        ref = xla_conv(xf.astype(jnp.float32), wf.astype(jnp.float32))
+        got = winograd_conv(xf, uf)
+        rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        print(f"{name:6} winograd max rel err vs f32 direct: {rel:.2e}")
         for vname, fn, x, w, peak in [
             ("xla-bf16-f32o", xla_conv, xf, wf, 197e12),
             ("xla-bf16", xla_conv_native, xf, wf, 197e12),
             ("xla-int8", xla_conv_native, xi8, wi8, 394e12),
             ("im2col-bf16", im2col_conv, xf, wf, 197e12),
+            ("winograd-bf16", winograd_conv, xf, uf, 197e12),
         ]:
             try:
                 sec = timed_scan(fn, x, w, args.iters)
