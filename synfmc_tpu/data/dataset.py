@@ -92,6 +92,8 @@ class UnrealTrajVideoDataset:
         self.use_sphere_mask = use_sphere_mask
         self.max_objects = max_objects
         self.appearance_percentage = appearance_percentage
+        self.seed = seed
+        self.epoch = 0
         self.rng = random.Random(seed)
 
         with open(hdri_json_file_path) as f:
@@ -454,7 +456,19 @@ class UnrealTrajVideoDataset:
     def __len__(self) -> int:
         return self.length
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch RNG stream (DistributedSampler.set_epoch
+        analog for sample CONTENT: fps/stride/flip choices vary per epoch)."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx: int) -> dict:
+        # Sample content is a PURE FUNCTION of (seed, epoch, idx): the item
+        # RNG is derived fresh here, so a crash-resumed run mid-epoch draws
+        # byte-identical samples to an uninterrupted one, and content does
+        # not depend on worker count or job scheduling.  (The reference's
+        # stateful torch/global RNG has neither property.)
+        ss = np.random.SeedSequence((self.seed, self.epoch, int(idx)))
+        self.rng = random.Random(int(ss.generate_state(1)[0]))
         # rejection resampling until a caption exists (dataset.py:5464-5471)
         for _ in range(1000):
             sample = self.get_batch(idx)
@@ -779,9 +793,15 @@ class UnrealTrajLoraDataset(UnrealTrajVideoDataset):
         caption, background, _ = self.get_text_prompt_and_mask_list(idx, [t])
         if caption == "":
             return None
+        pixels = ((self._load_clip([path])[0] - 0.5) / 0.5).astype(np.float32)
+        if self.use_flip and self.rng.random() < 0.5:
+            # RandomHorizontalFlip in the image transforms (reference
+            # fmc/data/dataset.py:1985-1991); single frames have no pose to
+            # adjust, so a plain pixel flip is the whole behavior
+            pixels = pixels[:, ::-1].copy()
         return dict(
             video_path=path,
-            pixel_values=((self._load_clip([path])[0] - 0.5) / 0.5).astype(np.float32),
+            pixel_values=pixels,
             caption=caption,
             background_caption=background,
         )

@@ -58,11 +58,14 @@ def _poison_jax_in_worker() -> None:
 def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int,
                  process_index: int = 0, worker_id: int = 0,
                  num_workers: int = 1) -> None:
-    """Persistent worker: lives across epochs; jobs are (bi, batch_idx, epoch).
+    """Persistent worker: lives across epochs; jobs are
+    (bi, batch_idx, epoch, gen).
 
-    The worker reseeds the dataset RNG when the job's epoch changes — the
-    per-(host, epoch, worker) stream that per-epoch respawning used to
-    provide, without paying worker startup every epoch.
+    Sample content is a pure function of (dataset seed, epoch, index) — the
+    dataset reseeds per item in ``__getitem__`` — so the worker only has to
+    forward the job's epoch.  For datasets without ``set_epoch`` (plain
+    test datasets), a legacy per-(host, epoch, worker) reseed of ``.rng``
+    keeps their streams epoch-varying.
     """
     import os
 
@@ -78,16 +81,16 @@ def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int,
         job = job_q.get()
         if job is None:
             return
-        bi, batch_idx, epoch = job
+        bi, batch_idx, epoch, gen = job
         if epoch != cur_epoch:
             cur_epoch = epoch
-            # per-worker RNG stream (torch DataLoader worker-seeding analog);
-            # SeedSequence avoids (rank, epoch) arithmetic collisions
-            if hasattr(dataset, "rng") and isinstance(dataset.rng, random.Random):
+            if hasattr(dataset, "set_epoch"):
+                dataset.set_epoch(epoch)
+            elif hasattr(dataset, "rng") and isinstance(dataset.rng, random.Random):
                 ws = np.random.SeedSequence((seed, process_index, epoch, worker_id))
                 dataset.rng = random.Random(int(ws.generate_state(1)[0]))
         samples = [dataset[int(i)] for i in batch_idx]
-        out_q.put((bi, epoch, collate_fn(samples)))  # blocks when full: backpressure
+        out_q.put((bi, gen, collate_fn(samples)))  # blocks when full: backpressure
 
 
 class ShardedLoader:
@@ -119,14 +122,23 @@ class ShardedLoader:
         self.drop_last = drop_last
         self.mp_context = mp_context
         self.epoch = 0
+        self.start_batch = 0
+        self._gen = 0  # per-iterator generation tag (stale-result filtering)
         self._workers: list = []
         self._job_q = None
         self._out_q = None
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
         """Per-epoch reshuffle (DistributedSampler.set_epoch parity,
-        train_cam_ctrl.py:504-505)."""
+        train_cam_ctrl.py:504-505).
+
+        ``start_batch`` skips the first N batches of the epoch WITHOUT
+        loading them — mid-epoch crash-resume continues the exact batch
+        sequence of an uninterrupted run (the reference restores only the
+        epoch counter and replays it, train_cam_ctrl.py:467-495).
+        """
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def _epoch_indices(self) -> np.ndarray:
         """Global permutation → stride-sliced per-host shard.
@@ -212,28 +224,31 @@ class ShardedLoader:
             pass
 
     def __iter__(self) -> Iterator[dict]:
-        batches = self._epoch_batches()
+        batches = self._epoch_batches()[self.start_batch :]
         if self.num_workers == 0:  # synchronous path (debug / tiny tests)
+            if hasattr(self.dataset, "set_epoch"):
+                self.dataset.set_epoch(self.epoch)
             for batch_idx in batches:
                 yield self.collate_fn([self.dataset[int(i)] for i in batch_idx])
             return
 
         self._ensure_workers()
-        epoch = self.epoch
+        self._gen += 1
+        gen = self._gen
         for bi, batch_idx in enumerate(batches):
-            self._job_q.put((bi, batch_idx, epoch))
+            self._job_q.put((bi, batch_idx, self.epoch, gen))
 
         reorder: dict[int, dict] = {}
         for want in range(len(batches)):
             while want not in reorder:
                 try:
-                    bi, ep, batch = self._out_q.get(timeout=600)
+                    bi, g, batch = self._out_q.get(timeout=600)
                 except queue.Empty:
                     dead = [w.exitcode for w in self._workers if not w.is_alive()]
                     raise RuntimeError(
                         f"data workers stalled (exitcodes={dead})"
                     ) from None
-                if ep != epoch:
+                if g != gen:
                     continue  # stale result from an abandoned earlier iterator
                 reorder[bi] = batch
             yield reorder.pop(want)
