@@ -15,4 +15,4 @@ from-scratch implementation; reference files are cited as ``file:line`` in
 docstrings for behavioral parity only.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"

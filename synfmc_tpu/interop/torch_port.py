@@ -221,3 +221,110 @@ def export_torch_state(params: dict, model_kind: str, prefix: str = "") -> dict[
 def filter_state_dict(state_dict: Mapping[str, np.ndarray], pattern: str) -> dict:
     rx = re.compile(pattern)
     return {k: v for k, v in state_dict.items() if rx.search(k)}
+
+
+# ---------------------------------------------------------------------------
+# torch AdamW optimizer-state export
+# ---------------------------------------------------------------------------
+
+# Sibling order within each reference module, replicating torch's
+# named_parameters() order (module-definition order, not alphabetical).
+# Values only ever compare between true siblings, so reuse across contexts is
+# safe.  Sources: diffusers Attention (to_q..to_out, processor set last in
+# __init__); reference LoRAAttnProcessor (attention_processor.py:103-107),
+# ResnetBlock (fmc/adapter.py:64-82), TemporalTransformerBlock
+# (motion_module.py:258-286), TemporalTransformer3DModel (motion_module.py:93),
+# CameraPoseEncoder (pose_adaptor.py:176-216), Adapter (fmc/adapter.py:118-146).
+_NAMED_PARAM_ORDER = {
+    "to_q": 0, "to_k": 1, "to_v": 2, "to_out": 3, "processor": 4,
+    "to_q_lora": 0, "to_k_lora": 1, "to_v_lora": 2, "to_out_lora": 3,
+    "in_conv": 0, "block1": 1, "block2": 2, "skep": 3, "down_opt": 4,
+    "attention_blocks": 0, "norms": 1, "ff": 2, "ff_norm": 3,
+    "norm": 0, "proj_in": 1, "transformer_blocks": 2, "proj_out": 3,
+    "encoder_down_conv_blocks": 0, "encoder_down_attention_blocks": 1,
+    "encoder_conv_in": 2,
+    "body": 0, "conv_in": 1, "zero_conv_in": 2, "zero_conv_out_list": 3,
+    "down_blocks": 5, "mid_block": 6, "up_blocks": 7,
+    "weight": 0, "bias": 1,
+}
+
+
+def _np_order_key(name: str):
+    key = []
+    for p in name.split("."):
+        if p.isdigit():
+            key.append((1, int(p), ""))
+        elif p in _NAMED_PARAM_ORDER:
+            key.append((0, _NAMED_PARAM_ORDER[p], ""))
+        else:
+            key.append((2, 0, p))
+    return key
+
+
+def torch_parameter_order(names) -> list[str]:
+    """Sort torch state-dict names into torch ``named_parameters()`` order
+    (depth-first module-definition order) — the positional order torch
+    optimizers key their per-param state by."""
+    return sorted(names, key=_np_order_key)
+
+
+# torch.optim.AdamW param_group keys beyond the hyperparameters; load_state_dict
+# restores groups verbatim, so every key AdamW.step() reads must be present.
+_ADAMW_GROUP_DEFAULTS = {
+    "amsgrad": False, "maximize": False, "foreach": None,
+    "capturable": False, "differentiable": False, "fused": None,
+}
+
+
+def export_adamw_state_dict(
+    segments: list[tuple[dict, dict, str]],
+    count: int,
+    lr: float,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+) -> dict:
+    """optax Adam moments -> a torch.optim.AdamW ``state_dict()``.
+
+    ``segments``: ordered list of (mu_subtree, nu_subtree, model_kind) in the
+    reference's trainable_params concatenation order (train_image_lora.py:
+    178-188 lora only; train_cam_ctrl.py:276-284 encoder then merge;
+    train_cam_obj_ctrl.py:335-406 [cm encoder+merge] + [mm] + omcm + [lora]).
+    Within each segment parameters follow torch named_parameters() order via
+    ``torch_parameter_order``.  optax's mu/nu are the bias-uncorrected
+    exp_avg/exp_avg_sq torch stores, and optax's count is torch's per-param
+    'step', so the mapping is value-exact.
+
+    The extra ``param_names`` key records the torch state-dict name at each
+    index; torch.optim.Optimizer.load_state_dict only reads 'state' and
+    'param_groups', so the key is inert there but makes the positional
+    mapping auditable.
+    """
+    import torch
+
+    names: list[str] = []
+    state: dict[int, dict] = {}
+    for mu_tree, nu_tree, kind in segments:
+        conv = _CONVERTERS[kind]
+        mu_flat = {conv(tuple(str(k) for k in key)): (value, key)
+                   for key, value in flatten_dict(mu_tree).items()}
+        nu_flat = {conv(tuple(str(k) for k in key)): value
+                   for key, value in flatten_dict(nu_tree).items()}
+        for name in torch_parameter_order(mu_flat):
+            mu, key = mu_flat[name]
+            leaf = str(key[-1])
+            state[len(names)] = {
+                "step": torch.tensor(float(count)),
+                "exp_avg": torch.from_numpy(
+                    np.ascontiguousarray(flax_to_torch_tensor(np.asarray(mu, np.float32), leaf))
+                ),
+                "exp_avg_sq": torch.from_numpy(
+                    np.ascontiguousarray(flax_to_torch_tensor(np.asarray(nu_flat[name], np.float32), leaf))
+                ),
+            }
+            names.append(name)
+    group = {
+        "lr": lr, "betas": tuple(betas), "eps": eps, "weight_decay": weight_decay,
+        "initial_lr": lr, **_ADAMW_GROUP_DEFAULTS, "params": list(range(len(names))),
+    }
+    return {"state": state, "param_groups": [group], "param_names": names}

@@ -12,8 +12,12 @@ Two formats:
      attention_processor_state_dict} (train_cam_ctrl.py:669-684)
    - stage 3: separate cmcm/omcm/img-lora files
      (train_cam_obj_ctrl.py:948-980)
-   Optimizer state is NOT exported to torch bundles (framework-specific);
-   note the reference itself skips optimizer restore in stage 3 (574-578).
+   Every bundle carries ``epoch``, ``global_step`` and an
+   ``optimizer_state_dict`` in torch.optim.AdamW format (optax Adam moments
+   re-indexed into the reference's trainable_params positional order), so
+   the reference's own resume path (train_image_lora.py:282-296,
+   train_cam_ctrl.py:467-495) can consume a run started here.  Note the
+   reference itself skips optimizer restore in stage 3 (574-578).
 """
 
 from __future__ import annotations
@@ -38,9 +42,16 @@ def _ckptr():
 
 
 def save_native(ckpt_dir: str, step: int, state: Any) -> str:
-    """Save a TrainState (or any pytree) under ckpt_dir/step-N."""
+    """Save a TrainState (or any pytree) under ckpt_dir/step-N.
+
+    ``fetch_to_host`` (not a bare device_get) so ZeRO-sharded leaves whose
+    fsdp groups have local replicas assemble without a collective; the
+    trainer pre-gathers any layout that genuinely spans processes.
+    """
+    from synfmc_tpu.parallel.mesh import fetch_to_host
+
     path = os.path.join(os.path.abspath(ckpt_dir), f"step-{step}")
-    _ckptr().save(path, jax.device_get(state))
+    _ckptr().save(path, fetch_to_host(state))
     return path
 
 
@@ -109,6 +120,23 @@ def latest_native(ckpt_dir: str) -> Optional[str]:
 # ---------------------------------------------------------------------------
 
 
+def adam_moments(opt_state) -> Optional[tuple]:
+    """Locate the ScaleByAdamState inside an optax chain state.
+
+    Returns ``(count, mu, nu)`` — the bias-uncorrected first/second moments
+    torch AdamW stores as per-param ``exp_avg``/``exp_avg_sq`` with ``step``
+    — or None when the optimizer carries no Adam state.
+    """
+    if hasattr(opt_state, "mu") and hasattr(opt_state, "nu") and hasattr(opt_state, "count"):
+        return opt_state.count, opt_state.mu, opt_state.nu
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = adam_moments(sub)
+            if found is not None:
+                return found
+    return None
+
+
 def _torch_save(obj: dict, path: str) -> None:
     import torch
 
@@ -134,8 +162,16 @@ def torch_load_state_dict(path: str) -> dict:
     return jax.tree_util.tree_map(to_np, obj)
 
 
-def save_stage1_bundle(path: str, lora_params: dict, epoch: int, global_step: int) -> None:
-    """lora_params: the trainable-unet subtree (LoRA branches only)."""
+def save_stage1_bundle(path: str, lora_params: dict, epoch: int, global_step: int,
+                       optimizer_state_dict: Optional[dict] = None) -> None:
+    """lora_params: the trainable-unet subtree (LoRA branches only).
+
+    ``optimizer_state_dict`` is a torch.optim.AdamW state dict (built by
+    ``interop.torch_port.export_adamw_state_dict``) so the reference's resume
+    path (train_image_lora.py:282-296) can continue a run started here; the
+    key is always present (None when the caller has no Adam state) so
+    consumers can rely on the reference bundle schema.
+    """
     from synfmc_tpu.interop.torch_port import export_torch_state
 
     _torch_save(
@@ -143,6 +179,7 @@ def save_stage1_bundle(path: str, lora_params: dict, epoch: int, global_step: in
             "epoch": epoch,
             "global_step": global_step,
             "lora_state_dict": export_torch_state(jax.device_get(lora_params), "unet"),
+            "optimizer_state_dict": optimizer_state_dict,
         },
         path,
     )
@@ -150,13 +187,14 @@ def save_stage1_bundle(path: str, lora_params: dict, epoch: int, global_step: in
 
 def save_stage2_bundle(
     path: str, pose_encoder_params: dict, merge_params: dict, epoch: int, global_step: int,
-    mm_params: Optional[dict] = None,
+    mm_params: Optional[dict] = None, optimizer_state_dict: Optional[dict] = None,
 ) -> None:
     from synfmc_tpu.interop.torch_port import export_torch_state
 
     bundle = {
         "epoch": epoch,
         "global_step": global_step,
+        "optimizer_state_dict": optimizer_state_dict,
         "pose_encoder_state_dict": export_torch_state(
             jax.device_get(pose_encoder_params), "pose_encoder"
         ),
@@ -175,16 +213,26 @@ def save_stage3_bundles(
     pose_encoder_params: Optional[dict] = None,
     merge_params: Optional[dict] = None,
     lora_params: Optional[dict] = None,
+    epoch: int = 0,
+    optimizer_state_dict: Optional[dict] = None,
 ) -> list[str]:
-    """Separate cmcm/omcm/img-lora files (train_cam_obj_ctrl.py:948-980)."""
+    """Separate cmcm/omcm/img-lora files (train_cam_obj_ctrl.py:948-980).
+
+    ``epoch`` rides every bundle and the AdamW ``optimizer_state_dict`` rides
+    the omcm file (the one whose global_step the reference's stage-3 resume
+    reads, train_cam_obj_ctrl.py:574-578 — note the reference itself never
+    restores stage-3 optimizer state, so the export is forward-looking).
+    """
     from synfmc_tpu.interop.torch_port import export_torch_state
 
     paths = []
     omcm_path = os.path.join(out_dir, f"omcm-step-{global_step}.ckpt")
     _torch_save(
         {
+            "epoch": epoch,
             "global_step": global_step,
             "omcm_state_dict": export_torch_state(jax.device_get(omcm_params), "adapter"),
+            "optimizer_state_dict": optimizer_state_dict,
         },
         omcm_path,
     )
@@ -193,6 +241,7 @@ def save_stage3_bundles(
         cmcm_path = os.path.join(out_dir, f"cmcm-step-{global_step}.ckpt")
         _torch_save(
             {
+                "epoch": epoch,
                 "global_step": global_step,
                 "pose_encoder_state_dict": export_torch_state(
                     jax.device_get(pose_encoder_params), "pose_encoder"
@@ -208,6 +257,7 @@ def save_stage3_bundles(
         lora_path = os.path.join(out_dir, f"img-lora-step-{global_step}.ckpt")
         _torch_save(
             {
+                "epoch": epoch,
                 "global_step": global_step,
                 "lora_state_dict": export_torch_state(jax.device_get(lora_params), "unet"),
             },

@@ -37,14 +37,21 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from synfmc_tpu.parallel import (
     create_mesh,
+    fetch_to_host,
     is_main_process,
     replicate,
     shard_batch,
     shard_over_fsdp,
     state_shardings,
+    tree_locally_coverable,
 )
 from synfmc_tpu.training import checkpoint as ckpt
 from synfmc_tpu.training.optim import make_lr_schedule, make_optimizer
+from synfmc_tpu.training.pipeline_io import (
+    AsyncCheckpointWriter,
+    ThreadPrefetcher,
+    snapshot_on_device,
+)
 from synfmc_tpu.training.params import (
     count_params,
     merge_params,
@@ -457,78 +464,150 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     do_sanity = bool(config.get("do_sanity_check", False))
     profile_steps = int(config.get("profile_steps", 0))  # jax.profiler trace
     metrics_out: dict = {}
+    # per-step loss record for exact-resume equality tests (forces a host
+    # sync every step — test/debug only)
+    loss_history: Optional[list] = [] if config.get("record_loss_history") else None
     t_train_start = time.time()
     epoch = 0
     last_saved_step = -1
-    data_iter = iter(loader)
-    data_t0 = time.time()
     if len(loader) == 0:
         raise ValueError(
             f"empty data loader: dataset has {len(dataset)} examples on this "
             f"host but train_batch_size={loader.batch_size} with "
             f"drop_last — no full batch can be formed"
         )
-    while global_step < max_steps:
-        try:
-            raw = next(data_iter)
-        except StopIteration:
-            epoch += 1
-            loader.set_epoch(epoch)
-            data_iter = iter(loader)
-            raw = next(data_iter)
-        batch = to_device_batch(raw)
-        data_time = time.time() - data_t0
+    if global_step:
+        # Exact data-order continuation after a crash-restart: restore the
+        # epoch counter AND skip the already-consumed batches of the partial
+        # epoch, so the post-resume sample sequence equals an uninterrupted
+        # run's.  (The reference restores only epoch/first_epoch and replays
+        # the epoch from its start, train_cam_ctrl.py:467-495.)
+        epoch, start_batch = divmod(global_step, len(loader))
+        loader.set_epoch(epoch, start_batch=start_batch)
+        logger.info(
+            f"resume data order: epoch {epoch}, skipping {start_batch} "
+            f"already-consumed batches"
+        )
 
-        if global_step == 0 and do_sanity and is_main_process():
-            _sanity_check_dump(stage, run_dir, raw)
-        if profile_steps and global_step == 2 and is_main_process():
-            jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+    def _batch_source():
+        """(epoch, raw, device batch) stream with epoch rollover.
 
-        rng, step_rng = jax.random.split(rng)
-        state, metrics = jit_step(state, frozen, batch, step_rng)
-        global_step += 1
-
-        if profile_steps and global_step == 2 + profile_steps and is_main_process():
-            jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
-            jax.profiler.stop_trace()
-            logger.info(f"profiler trace written to {run_dir}/trace")
-
-        if is_main_process() and (
-            (validation_steps > 0 and global_step % validation_steps == 0)
-            or global_step in validation_steps_tuple
-        ) and bool(config.get("enable_validation", False)):
+        Runs on the prefetch thread: loader wait + tokenize + device
+        transfer for batch N+1 overlap the device executing step N — the
+        host path (0.3–1.4 s measured) no longer serializes with the
+        0.26 s device step.  Prefetch changes WHEN a batch is staged,
+        never WHICH batch: content is a pure function of (seed, epoch,
+        idx), so prefetched == serial bit-for-bit.
+        """
+        ep, it = epoch, iter(loader)
+        while True:
             try:
-                run_validation(
-                    stage, run_dir, global_step, models, state, frozen,
-                    config, tokenizer, schedule,
-                    dataset=None if stage == "lora" else dataset,
+                raw = next(it)
+            except StopIteration:
+                ep += 1
+                loader.set_epoch(ep)
+                it = iter(loader)
+                raw = next(it)
+            yield ep, raw, to_device_batch(raw)
+
+    prefetch_depth = int(config.get("prefetch_batches", 1))
+    async_ckpt = bool(config.get("async_checkpointing", True))
+    source = _batch_source()
+    prefetcher = None
+    if prefetch_depth > 0:
+        source = prefetcher = ThreadPrefetcher(source, depth=prefetch_depth)
+    ckpt_writer = AsyncCheckpointWriter()
+    data_t0 = time.time()
+    try:
+        while global_step < max_steps:
+            epoch, raw, batch = next(source)
+            data_time = time.time() - data_t0
+
+            if global_step == 0 and do_sanity and is_main_process():
+                _sanity_check_dump(stage, run_dir, raw)
+            if profile_steps and global_step == 2 and is_main_process():
+                jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+
+            # step RNG is a pure function of the step index (not a
+            # sequentially threaded split): a resumed run's step k draws the
+            # same key an uninterrupted run's step k drew — exact-resume
+            # invariant
+            step_rng = jax.random.fold_in(rng, global_step)
+            state, metrics = jit_step(state, frozen, batch, step_rng)
+            global_step += 1
+            if loss_history is not None:
+                loss_history.append(float(metrics["loss"]))
+
+            if profile_steps and global_step == 2 + profile_steps and is_main_process():
+                jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {run_dir}/trace")
+
+            if is_main_process() and (
+                (validation_steps > 0 and global_step % validation_steps == 0)
+                or global_step in validation_steps_tuple
+            ) and bool(config.get("enable_validation", False)):
+                try:
+                    run_validation(
+                        stage, run_dir, global_step, models, state, frozen,
+                        config, tokenizer, schedule,
+                        dataset=None if stage == "lora" else dataset,
+                    )
+                except Exception as e:  # validation must never kill training
+                    logger.warning(f"validation at step {global_step} failed: {e}")
+
+            if global_step % logger_interval == 0 or global_step == max_steps:
+                loss = float(metrics["loss"])
+                iter_time = time.time() - data_t0
+                eta = (max_steps - global_step) * iter_time
+                logger.info(
+                    f"step {global_step}/{max_steps} loss {loss:.4f} "
+                    f"lr {float(lr_at(global_step - 1)):.2e} "
+                    f"data {data_time:.3f}s iter {iter_time:.3f}s "
+                    f"eta {format_time(eta)}{_device_mem_str()}"
                 )
-            except Exception as e:  # validation must never kill training
-                logger.warning(f"validation at step {global_step} failed: {e}")
+                metrics_out = {k: float(v) for k, v in metrics.items()}
+            if ckpt_steps > 0 and global_step % ckpt_steps == 0:
+                # device-side snapshot (async dispatch, ordered before the
+                # next step's donation) -> writer thread does the device
+                # fetch + Orbax + torch-bundle serialization off the hot loop
+                to_save = snapshot_on_device(state) if async_ckpt else state
+                if jax.process_count() > 1 and not tree_locally_coverable(to_save):
+                    # ZeRO layout spans processes: gather COLLECTIVELY here,
+                    # synchronously on every process, so per-process device
+                    # program streams stay aligned (a collective issued from
+                    # the writer thread could interleave differently per
+                    # process and deadlock)
+                    to_save = fetch_to_host(to_save)
+                if is_main_process():
+                    if async_ckpt:
+                        ckpt_writer.submit(
+                            lambda s=to_save, g=global_step, e=epoch: _save_checkpoints(
+                                stage, run_dir, g, e, s, config
+                            )
+                        )
+                    else:
+                        _save_checkpoints(stage, run_dir, global_step, epoch, to_save, config)
+                last_saved_step = global_step
+            data_t0 = time.time()
+    finally:
+        ckpt_writer.wait()  # surface write failures; order the final save
+        if prefetcher is not None:
+            prefetcher.close()
 
-        if global_step % logger_interval == 0 or global_step == max_steps:
-            loss = float(metrics["loss"])
-            iter_time = time.time() - data_t0
-            eta = (max_steps - global_step) * iter_time
-            logger.info(
-                f"step {global_step}/{max_steps} loss {loss:.4f} "
-                f"lr {float(lr_at(global_step - 1)):.2e} "
-                f"data {data_time:.3f}s iter {iter_time:.3f}s "
-                f"eta {format_time(eta)}{_device_mem_str()}"
-            )
-            metrics_out = {k: float(v) for k, v in metrics.items()}
-        if ckpt_steps > 0 and global_step % ckpt_steps == 0 and is_main_process():
-            _save_checkpoints(stage, run_dir, global_step, epoch, state, config)
-            last_saved_step = global_step
-        data_t0 = time.time()
-
-    if is_main_process() and global_step != last_saved_step:
-        _save_checkpoints(stage, run_dir, global_step, epoch, state, config)
+    if global_step != last_saved_step:
+        to_save = state
+        if jax.process_count() > 1 and not tree_locally_coverable(state):
+            to_save = fetch_to_host(state)  # collective: all processes
+        if is_main_process():
+            _save_checkpoints(stage, run_dir, global_step, epoch, to_save, config)
     metrics_out.update(
         steps=global_step,
         wall_s=time.time() - t_train_start,
         run_dir=run_dir,
     )
+    if loss_history is not None:
+        metrics_out["loss_history"] = loss_history
     return metrics_out
 
 
@@ -728,23 +807,76 @@ def _sanity_check_dump(stage, run_dir, raw_batch):
         save_videos_grid(pixels, os.path.join(out, "batch.gif"))
 
 
+def _export_optimizer_state(stage, state, config) -> Optional[dict]:
+    """optax Adam moments → a torch.optim.AdamW ``state_dict()`` in the
+    reference's trainable_params positional order, so the reference's own
+    resume path can consume bundles written here (train_image_lora.py:282-296,
+    train_cam_ctrl.py:467-495)."""
+    from synfmc_tpu.interop.torch_port import export_adamw_state_dict
+
+    moments = ckpt.adam_moments(state.opt_state)
+    if moments is None:
+        return None
+    from synfmc_tpu.parallel.mesh import fetch_to_host
+
+    count, mu, nu = fetch_to_host(moments)
+    segments: list[tuple[dict, dict, str]] = []
+
+    def add(m, n, kind):
+        if m and jax.tree_util.tree_leaves(m):
+            segments.append((m, n, kind))
+
+    if stage == "lora":
+        add(mu.get("unet"), nu.get("unet"), "unet")
+    elif stage == "cam":
+        # encoder params then merge params (train_cam_ctrl.py:276-284)
+        add(mu.get("pose_encoder"), nu.get("pose_encoder"), "pose_encoder")
+        add(mu.get("unet"), nu.get("unet"), "unet")
+    else:
+        # [cm encoder + merge] + [mm] + omcm + [image lora]
+        # (train_cam_obj_ctrl.py:335-406)
+        add(mu.get("pose_encoder"), nu.get("pose_encoder"), "pose_encoder")
+        u_mu, u_nu = mu.get("unet") or {}, nu.get("unet") or {}
+        merge_mu, rest_mu = partition_params(u_mu, stage2_cmc_unet_trainable)
+        merge_nu, rest_nu = partition_params(u_nu, stage2_cmc_unet_trainable)
+        lora_mu, mm_mu = partition_params(rest_mu, lambda p: "lora" in p)
+        lora_nu, mm_nu = partition_params(rest_nu, lambda p: "lora" in p)
+        add(merge_mu, merge_nu, "unet")
+        add(mm_mu, mm_nu, "unet")
+        add(mu.get("adapter"), nu.get("adapter"), "adapter")
+        add(lora_mu, lora_nu, "unet")
+    return export_adamw_state_dict(
+        segments,
+        int(count),
+        lr=float(config.get("learning_rate", 1e-4)),
+        betas=(float(config.get("adam_beta1", 0.9)), float(config.get("adam_beta2", 0.999))),
+        eps=float(config.get("adam_epsilon", 1e-8)),
+        weight_decay=float(config.get("adam_weight_decay", 1e-2)),
+    )
+
+
 def _save_checkpoints(stage, run_dir, global_step, epoch, state, config):
+    from synfmc_tpu.parallel.mesh import fetch_to_host
+
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     ckpt.save_native(ckpt_dir, global_step, state)
-    trainable = jax.device_get(state.trainable)
+    trainable = fetch_to_host(state.trainable)
+    opt_sd = _export_optimizer_state(stage, state, config)
     if stage == "lora":
         ckpt.save_stage1_bundle(
             os.path.join(ckpt_dir, f"lora-step-{global_step}.ckpt"),
-            trainable["unet"], epoch, global_step,
+            trainable["unet"], epoch, global_step, optimizer_state_dict=opt_sd,
         )
     elif stage == "cam":
         ckpt.save_stage2_bundle(
             os.path.join(ckpt_dir, f"cmcm-step-{global_step}.ckpt"),
             trainable["pose_encoder"], trainable["unet"], epoch, global_step,
+            optimizer_state_dict=opt_sd,
         )
     else:
         ckpt.save_stage3_bundles(
             ckpt_dir, global_step, trainable["adapter"],
             pose_encoder_params=trainable.get("pose_encoder"),
             merge_params=trainable.get("unet", {}),
+            epoch=epoch, optimizer_state_dict=opt_sd,
         )

@@ -57,6 +57,10 @@ def test_stage1_bundle_roundtrip(tmp_path):
     save_stage1_bundle(p, trainable, epoch=1, global_step=100)
     bundle = torch_load_state_dict(p)
     assert bundle["global_step"] == 100
+    assert bundle["epoch"] == 1
+    # reference bundle schema (train_image_lora.py:387-396): the key is
+    # always present, None when the caller passes no Adam state
+    assert "optimizer_state_dict" in bundle and bundle["optimizer_state_dict"] is None
     assert all("lora" in k for k in bundle["lora_state_dict"])
     # perturb then reload -> restored exactly
     zeroed = jax.tree_util.tree_map(jnp.zeros_like, trainable)
@@ -90,8 +94,13 @@ def test_stage2_and_3_bundles(tmp_path):
     ad = ObjectAdapter(channels=CHS).init(
         jax.random.PRNGKey(0), jnp.zeros((2, 64, 128, 13)), jnp.zeros((2, 64, 128, 1))
     )["params"]
-    paths = save_stage3_bundles(str(tmp_path), 75, ad, pose_encoder_params=pose, merge_params=merge)
+    paths = save_stage3_bundles(str(tmp_path), 75, ad, pose_encoder_params=pose,
+                                merge_params=merge, epoch=3)
     assert len(paths) == 2
     omcm = torch_load_state_dict(paths[0])
     assert omcm["global_step"] == 75
+    assert omcm["epoch"] == 3
+    assert "optimizer_state_dict" in omcm
     assert any(k.startswith("body.") for k in omcm["omcm_state_dict"])
+    cmcm = torch_load_state_dict(paths[1])
+    assert cmcm["epoch"] == 3

@@ -70,6 +70,23 @@ def test_train_stage_smoke(stage, fixture_kwargs, tmp_path):
     # reference-compatible bundle exists
     torch_bundles = glob.glob(os.path.join(run_dir, "checkpoints", "*.ckpt"))
     assert torch_bundles
+    # the stage's main bundle carries epoch + a live torch AdamW
+    # optimizer_state_dict so the reference's resume path can consume it
+    # (train_image_lora.py:282-296); cmcm/img-lora side files in stage 3
+    # legitimately carry None
+    from synfmc_tpu.training.checkpoint import torch_load_state_dict
+
+    main = {"lora": "lora-step", "cam": "cmcm-step", "obj": "omcm-step"}[stage]
+    bundle = torch_load_state_dict(
+        [p for p in torch_bundles if main in os.path.basename(p)][0]
+    )
+    assert isinstance(bundle["epoch"], int) and bundle["epoch"] >= 0
+    assert bundle["global_step"] == 2
+    opt_sd = bundle["optimizer_state_dict"]
+    assert opt_sd is not None
+    assert len(opt_sd["state"]) == len(opt_sd["param_names"]) > 0
+    assert opt_sd["param_groups"][0]["params"] == list(range(len(opt_sd["state"])))
+    assert all(float(s["step"]) == 2 for s in opt_sd["state"].values())
 
 
 def test_resume_from_native_checkpoint(fixture_kwargs, tmp_path):
@@ -110,6 +127,82 @@ def test_resume_from_auto(fixture_kwargs, tmp_path):
     assert np.isfinite(m2["loss"])
     # a different job name must not see this job's checkpoints
     assert find_auto_resume(cfg["output_dir"], "other-job") is None
+
+
+def test_resume_is_exact(fixture_kwargs, tmp_path):
+    """Crash-resume equals an uninterrupted run (VERDICT r3 #3 done
+    criterion): per-step losses after the resume point AND the final weights
+    match elementwise.  Pins the whole invariant chain — epoch arithmetic +
+    mid-epoch batch skip (loader start_batch), per-(seed,epoch,idx) sample
+    content, fold_in step RNG, and optimizer-state restore."""
+    import orbax.checkpoint as ocp
+
+    # uninterrupted: 5 steps (2-batch epochs -> ends mid-epoch 2)
+    cfg_a = _config("cam", fixture_kwargs, tmp_path)
+    cfg_a["output_dir"] = str(tmp_path / "out_a")
+    cfg_a["record_loss_history"] = True
+    m_a = train("cam", cfg_a, max_steps_override=5)
+
+    # crashed at 3, resumed via resume_from: auto to 5
+    cfg_b = _config("cam", fixture_kwargs, tmp_path)
+    cfg_b["output_dir"] = str(tmp_path / "out_b")
+    cfg_b["record_loss_history"] = True
+    train("cam", cfg_b, max_steps_override=3)
+    cfg_c = _config("cam", fixture_kwargs, tmp_path)
+    cfg_c["output_dir"] = str(tmp_path / "out_b")
+    cfg_c["record_loss_history"] = True
+    cfg_c["resume_from"] = "auto"
+    m_c = train("cam", cfg_c, max_steps_override=5)
+
+    assert len(m_a["loss_history"]) == 5 and len(m_c["loss_history"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(m_a["loss_history"][3:]), np.asarray(m_c["loss_history"])
+    )
+
+    # final weights at step 5 identical between the two histories
+    import jax
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree_a = ckptr.restore(os.path.join(m_a["run_dir"], "checkpoints", "step-5"))
+    tree_c = ckptr.restore(os.path.join(m_c["run_dir"], "checkpoints", "step-5"))
+    la, lc = jax.tree.leaves(tree_a), jax.tree.leaves(tree_c)
+    assert len(la) == len(lc) > 0
+    for a, c in zip(la, lc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_prefetch_and_async_ckpt_equal_serial(fixture_kwargs, tmp_path):
+    """The pipelined input path (prefetch_batches, default on) and async
+    checkpointing must be BIT-IDENTICAL to the serial path: same per-step
+    losses, and the async step-2 checkpoint captures the state at step 2
+    (not a later mutation) — VERDICT r3 #1 equality criterion."""
+    import orbax.checkpoint as ocp
+
+    import jax
+
+    cfg_s = _config("cam", fixture_kwargs, tmp_path)
+    cfg_s["output_dir"] = str(tmp_path / "serial")
+    cfg_s.update(prefetch_batches=0, async_checkpointing=False,
+                 record_loss_history=True)
+    m_s = train("cam", cfg_s, max_steps_override=4)
+
+    cfg_p = _config("cam", fixture_kwargs, tmp_path)
+    cfg_p["output_dir"] = str(tmp_path / "pipelined")
+    cfg_p.update(prefetch_batches=2, async_checkpointing=True,
+                 record_loss_history=True)
+    m_p = train("cam", cfg_p, max_steps_override=4)
+
+    np.testing.assert_array_equal(
+        np.asarray(m_s["loss_history"]), np.asarray(m_p["loss_history"])
+    )
+    ckptr = ocp.PyTreeCheckpointer()
+    for step in (2, 4):
+        t_s = ckptr.restore(os.path.join(m_s["run_dir"], "checkpoints", f"step-{step}"))
+        t_p = ckptr.restore(os.path.join(m_p["run_dir"], "checkpoints", f"step-{step}"))
+        ls, lp = jax.tree.leaves(t_s), jax.tree.leaves(t_p)
+        assert len(ls) == len(lp) > 0
+        for a, b in zip(ls, lp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_empty_loader_raises_clear_error(fixture_kwargs, tmp_path):
