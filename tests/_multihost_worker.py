@@ -116,6 +116,90 @@ big = [x for x in jax.tree_util.tree_leaves(state.trainable)
 assert big and all(x.sharding.spec == PartitionSpec("fsdp") for x in big), \
     "fsdp sharding did not persist through the train step"
 
+# ---- checkpoint from the process-spanning ZeRO layout (VERDICT r3 weak #4):
+# P('fsdp') leaves are replicated over the process-spanning 'data' axis —
+# NOT fully addressable (a bare device_get raises), but locally coverable;
+# fetch_to_host must assemble them shard-by-shard without a collective, on
+# every rank, and the saved tree must round-trip exactly.
+from synfmc_tpu.parallel.mesh import fetch_to_host, tree_locally_coverable  # noqa: E402
+
+assert any(
+    hasattr(x, "sharding") and not x.is_fully_addressable
+    for x in jax.tree_util.tree_leaves(state.trainable)
+), "expected process-spanning leaves in this layout"
+assert tree_locally_coverable(state.trainable)
+host_trainable = fetch_to_host(state.trainable)
+csum = float(np.sum([np.abs(x).sum() for x in jax.tree_util.tree_leaves(host_trainable)]))
+print(f"ckpt csum={csum:.6f}", flush=True)
+ckpt_dir = os.environ.get("SYNFMC_TEST_CKPT_DIR")
+if ckpt_dir and pid == 0:
+    from synfmc_tpu.training import checkpoint as ckpt_mod
+
+    path = ckpt_mod.save_native(ckpt_dir, 2, state)  # full TrainState, ZeRO-sharded
+    host_state = fetch_to_host(state)
+    restored = ckpt_mod.restore_native(path, host_state)
+    for a, b in zip(jax.tree_util.tree_leaves(host_state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print("ckpt roundtrip ok", flush=True)
+
+# ---- stage-1 LoRA step across processes (VERDICT r3 #4): F=1 fold, LoRA
+# branches in the fsdp partition
+from synfmc_tpu.training.params import stage1_lora_trainable, stage3_unet_trainable  # noqa: E402
+from synfmc_tpu.training.steps import make_lora_train_step, make_obj_train_step  # noqa: E402
+
+unet_l = UNet3D(block_out_channels=CHS, attn_heads=4, cross_attention_dim=32,
+                use_motion_module=False, lora_rank=2)
+params_l = unet_l.init(key, jnp.zeros((1, 1, hl, wl, 4)), jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1, 77, 32)))["params"]
+t1, f1 = partition_params(params_l, stage1_lora_trainable)
+state1 = shard_over_fsdp(init_train_state({"unet": t1}, tx), mesh)
+frozen1 = replicate({"unet": f1, "vae": vae_v, "text": text_v}, mesh)
+step1 = jax.jit(make_lora_train_step(unet_l, vae, text, DiffusionSchedule.from_config(),
+                                     tx, StepConfig(sample_height=H, sample_width=W)),
+                out_shardings=(state_shardings(state1), NamedSharding(mesh, PartitionSpec())))
+rng = np.random.default_rng(31 * (pid + 1))
+batch1 = shard_batch({
+    "pixel_values": rng.normal(size=(B_LOCAL, H, W, 3)).astype(np.float32).clip(-1, 1),
+    "input_ids": np.asarray(tok([f"lora {pid} {j}" for j in range(B_LOCAL)])),
+    "null_ids": np.asarray(tok([""])[0]),
+}, mesh)
+state1, m1 = step1(state1, frozen1, batch1, jax.random.PRNGKey(41))
+print(f"lora loss={float(m1['loss']):.6f} psum={float(_checksum(state1.trainable)):.6f}",
+      flush=True)
+
+# ---- stage-3 OMC step across processes (VERDICT r3 #4): padded object axis
+# on 'data', adapter trainables in the fsdp partition
+from synfmc_tpu.models.adapter import ObjectAdapter  # noqa: E402
+
+O = 2
+adapter = ObjectAdapter(channels=CHS)
+ad_v = adapter.init(key, jnp.zeros((F, H, W, 13)), jnp.zeros((F, H, W, 1)))["params"]
+t3, f3 = partition_params(unet_params, lambda p: stage3_unet_trainable(p))
+state3 = shard_over_fsdp(
+    init_train_state({"adapter": ad_v, "unet": t3}, tx), mesh)
+frozen3 = replicate({"unet": f3, "vae": vae_v, "text": text_v,
+                     "pose_encoder": pose_v["params"]}, mesh)
+cfg3 = StepConfig(apply_masked_loss=True, invert_loss_mask=False,
+                  sample_height=H, sample_width=W)
+step3 = jax.jit(make_obj_train_step(unet, pose_enc, adapter, vae, text,
+                                    DiffusionSchedule.from_config(), tx, cfg3),
+                out_shardings=(state_shardings(state3), NamedSharding(mesh, PartitionSpec())))
+rng = np.random.default_rng(53 * (pid + 1))
+batch3 = shard_batch({
+    "pixel_values": rng.normal(size=(B_LOCAL, F, H, W, 3)).astype(np.float32).clip(-1, 1),
+    "camera_rt": rng.normal(size=(B_LOCAL, F, 12)).astype(np.float32),
+    "intrinsics": np.broadcast_to(np.array([W, H, 0, 0], np.float32), (B_LOCAL, F, 4)).copy(),
+    "obj_info": rng.normal(size=(B_LOCAL, F, O, 12)).astype(np.float32),
+    "obj_masks": (rng.uniform(size=(B_LOCAL, F, O, H, W)) > 0.8).astype(np.float32),
+    "input_ids": np.asarray(tok([f"obj {pid} {j}" for j in range(B_LOCAL)])),
+    "background_ids": np.asarray(tok(["a forest"] * B_LOCAL)),
+    "null_ids": np.asarray(tok([""])[0]),
+}, mesh)
+state3, m3 = step3(state3, frozen3, batch3, jax.random.PRNGKey(43))
+print(f"obj loss={float(m3['loss']):.6f} psum={float(_checksum(state3.trainable)):.6f}",
+      flush=True)
+
 # ---- sp (frame-axis) activation sharding across processes: the 2-axis
 # P('data','sp') batch spec must assemble from process-local data and the
 # step must produce identical losses on both ranks (SPMD)
