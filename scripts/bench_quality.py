@@ -108,15 +108,16 @@ def main() -> None:
         traj_features=[jnp.concatenate([t, t]) for t in traj],
     )
 
-    def run(**kw):
+    def run(steps=args.steps, **kw):
         out = denoise_loop(
             unet, params, schedule, latents, ctx,
             pose_features=pose, traj_features=traj,
-            num_inference_steps=args.steps, **kw,
+            num_inference_steps=steps, **kw,
         )
         return jax.block_until_ready(out)
 
     exact = run()
+    half = max(2, args.steps // 2)
     modes = [
         ("exact_ddim", {}),
         ("deepcache_2", {"deepcache_interval": 2}),
@@ -129,12 +130,19 @@ def main() -> None:
         # not cache drift (it converges to a DIFFERENT, more accurate ODE
         # solution than DDIM at equal steps).
         ("dpmpp_2m", {"solver": "dpmpp_2m"}),
+        # the advertised latency halvings: dpmpp at half the steps, alone and
+        # composed with the turbo caches — drift still reported vs exact
+        # full-step DDIM (the reference-parity trajectory)
+        (f"dpmpp_2m_{half}steps", {"steps": half, "solver": "dpmpp_2m"}),
+        (f"dpmpp_turbo3_{half}steps",
+         {"steps": half, "solver": "dpmpp_2m",
+          "deepcache_interval": 3, "cfg_cache_interval": 3}),
     ]
     for name, kw in modes:
         out = run(**kw)
         print(json.dumps({
             "mode": name,
-            "steps": args.steps,
+            "steps": kw.get("steps", args.steps),
             "rel_l2_vs_exact": round(rel_l2(out, exact), 6),
             "psnr_latent_db": round(psnr_vs(out, exact), 2),
         }), flush=True)

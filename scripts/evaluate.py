@@ -78,6 +78,67 @@ def eval_videos(path_a, path_b):
     }
 
 
+def _video_files(path):
+    """A video file, or a directory of gifs/mp4s (sorted)."""
+    if os.path.isdir(path):
+        files = sorted(
+            f for ext in ("*.gif", "*.mp4") for f in glob.glob(os.path.join(path, ext))
+        )
+        if not files:
+            raise FileNotFoundError(f"no .gif/.mp4 files in {path}")
+        return files
+    return [path]
+
+
+def _load_frames(path):
+    """(T, H, W, 3) float32 in [0, 1]."""
+    import imageio.v2 as imageio
+
+    frames = np.stack([np.asarray(f)[..., :3] for f in imageio.mimread(path)])
+    return frames.astype(np.float32) / 255.0
+
+
+def eval_frechet_extracted(path_a, path_b, extractor_path, video_level=False):
+    """The FULL FID/FVD seam: decode videos -> TorchScript feature extractor
+    -> Fréchet distance (no precomputed features needed).
+
+    - FID protocol (default): every FRAME is a sample; the extractor gets
+      (N, 3, H, W) float in [0, 1] and must return (N, D).  The standard
+      artifact is the InceptionV3 pool3 TorchScript export (D=2048).
+    - FVD protocol (``video_level=True``): every VIDEO is a sample; the
+      extractor gets (1, 3, T, H, W) per clip and must return (1, D).  The
+      standard artifact is the I3D Kinetics-400 logits export (D=400);
+      needs >= 2 videos per side (pass directories).
+    """
+    from synfmc_tpu.evaluation.fid import (
+        extract_features,
+        fid_from_features,
+        load_torchscript_extractor,
+    )
+
+    extractor = load_torchscript_extractor(extractor_path)
+
+    def features(path):
+        batches = []
+        for f in _video_files(path):
+            frames = _load_frames(f)
+            if video_level:
+                batches.append(frames.transpose(3, 0, 1, 2)[None])  # (1,3,T,H,W)
+            else:
+                batches.append(frames.transpose(0, 3, 1, 2))  # (T,3,H,W)
+        return extract_features(batches, extractor)
+
+    fa, fb = features(path_a), features(path_b)
+    return {
+        "frechet_distance": fid_from_features(fa, fb),
+        "protocol": "fvd" if video_level else "fid",
+        "n_a": int(len(fa)),
+        "n_b": int(len(fb)),
+        "dim": int(fa.shape[-1]),
+        "extractor": os.path.basename(extractor_path),
+    }
+
+
 def _load_features(path):
     data = np.load(path)
     if hasattr(data, "files"):  # npz: take 'features' or the sole array
@@ -114,6 +175,13 @@ def main():
     p.add_argument("--features-a", default=None,
                    help="feature .npy/.npz for FID/FVD (with --features-b)")
     p.add_argument("--features-b", default=None)
+    p.add_argument("--extractor", default=None,
+                   help="TorchScript feature extractor (.pt): with --video-a/"
+                        "--video-b (files or gif dirs) runs the full FID/FVD "
+                        "path — InceptionV3 pool3 for FID, I3D for FVD")
+    p.add_argument("--fvd", action="store_true",
+                   help="video-level (FVD) protocol: one feature per clip, "
+                        "extractor input (1, 3, T, H, W)")
     args = p.parse_args()
 
     result = {}
@@ -122,7 +190,12 @@ def main():
     if args.pred and args.gt:
         result["camera_pair"] = eval_label_pair(args.pred, args.gt)
     if args.video_a and args.video_b:
-        result["video"] = eval_videos(args.video_a, args.video_b)
+        if args.extractor:
+            result["frechet"] = eval_frechet_extracted(
+                args.video_a, args.video_b, args.extractor, video_level=args.fvd
+            )
+        else:
+            result["video"] = eval_videos(args.video_a, args.video_b)
     if args.features_a and args.features_b:
         result["frechet"] = eval_frechet(args.features_a, args.features_b)
     if not result:

@@ -42,3 +42,10 @@ def test_bench_quality_tiny():
         row = rows[name]
         assert 0.0 < row["rel_l2_vs_exact"] < 1.0, (name, row)
         assert 0.0 < row["psnr_latent_db"] < 99.0, (name, row)
+
+    # half-step dpmpp modes (latency halving, alone + composed with turbo)
+    for name in ("dpmpp_2m_4steps", "dpmpp_turbo3_4steps"):
+        row = rows[name]
+        assert row["steps"] == 4
+        assert 0.0 < row["rel_l2_vs_exact"], (name, row)
+        assert row["psnr_latent_db"] <= 99.0, (name, row)
