@@ -140,7 +140,7 @@ class ShardedLoader:
         self.epoch = epoch
         self.start_batch = start_batch
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self, epoch: Optional[int] = None) -> np.ndarray:
         """Global permutation → stride-sliced per-host shard.
 
         DistributedSampler semantics (train_cam_ctrl.py:342): the shuffle
@@ -152,12 +152,12 @@ class ShardedLoader:
         """
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng((self.seed, self.epoch))
+            rng = np.random.default_rng((self.seed, self.epoch if epoch is None else epoch))
             rng.shuffle(idx)
         return idx[self.process_index :: self.process_count]
 
-    def _epoch_batches(self) -> list[np.ndarray]:
-        indices = self._epoch_indices()
+    def _epoch_batches(self, epoch: Optional[int] = None) -> list[np.ndarray]:
+        indices = self._epoch_indices(epoch)
         step = self.batch_size
         stop = len(indices) - (step - 1 if self.drop_last else 0)
         return [indices[i : i + step] for i in range(0, stop, step)]
@@ -222,6 +222,63 @@ class ShardedLoader:
             self.close()
         except Exception:
             pass
+
+    def epochs(self, start_epoch: int = 0, start_batch: int = 0) -> Iterator[tuple[int, dict]]:
+        """Infinite cross-epoch stream of ``(epoch, batch)`` with SEAMLESS
+        epoch boundaries.
+
+        ``__iter__`` dispatches one epoch's jobs and drains them, so every
+        epoch boundary stalls the consumer for a full sample-build latency
+        (measured 1.2–2.9 s spikes at full scale, PERF.md round 4).  Here
+        jobs flow continuously: the next epoch's jobs are enqueued as soon
+        as the in-flight window (num_workers + prefetch) has room, so
+        workers never idle between epochs.  Batch sequence and content are
+        IDENTICAL to repeated ``set_epoch + __iter__`` — content is a pure
+        function of (seed, epoch, idx), and jobs carry their epoch.
+        """
+        if self.num_workers == 0:  # synchronous path
+            ep, sb = start_epoch, start_batch
+            while True:
+                if hasattr(self.dataset, "set_epoch"):
+                    self.dataset.set_epoch(ep)
+                for batch_idx in self._epoch_batches(ep)[sb:]:
+                    yield ep, self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+                ep, sb = ep + 1, 0
+
+        self._ensure_workers()
+        self._gen += 1
+        gen = self._gen
+
+        def jobs():
+            ep, sb = start_epoch, start_batch
+            while True:
+                for batch_idx in self._epoch_batches(ep)[sb:]:
+                    yield ep, batch_idx
+                ep, sb = ep + 1, 0
+
+        job_iter = jobs()
+        window = self.num_workers + self.prefetch
+        epochs_by_bi: dict[int, int] = {}
+        next_bi = 0
+        want = 0
+        reorder: dict[int, dict] = {}
+        while True:
+            while next_bi - want < window:
+                ep, batch_idx = next(job_iter)
+                self._job_q.put((next_bi, batch_idx, ep, gen))
+                epochs_by_bi[next_bi] = ep
+                next_bi += 1
+            while want not in reorder:
+                try:
+                    bi, g, batch = self._out_q.get(timeout=600)
+                except queue.Empty:
+                    dead = [w.exitcode for w in self._workers if not w.is_alive()]
+                    raise RuntimeError(f"data workers stalled (exitcodes={dead})") from None
+                if g != gen:
+                    continue  # stale result from an abandoned earlier iterator
+                reorder[bi] = batch
+            yield epochs_by_bi.pop(want), reorder.pop(want)
+            want += 1
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._epoch_batches()[self.start_batch :]

@@ -111,6 +111,39 @@ def snapshot_on_device(state: Any) -> Any:
     return _SNAPSHOT_FN(state)
 
 
+def snapshot_fits_on_device(state: Any, headroom: float = 1.25) -> bool:
+    """Whether a device-side snapshot of ``state`` fits in free HBM.
+
+    At full stage-2 scale the train step already runs near the HBM limit
+    (PERF.md: no-remat fits b=1 snugly); doubling the train state for the
+    snapshot OOM'd the real chip (RESOURCE_EXHAUSTED at the first async
+    checkpoint).  When it doesn't fit — or the backend cannot SAY whether it
+    fits (the axon tunnel's memory_stats() is None; so is CPU's) — the
+    trainer falls back to a blocking host fetch: serialization + disk still
+    leave the hot loop, and the fetch runs between steps where it is safe.
+    ``ckpt_device_snapshot: always`` overrides for backends known to have
+    room.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        # the snapshot lives through the NEXT steps while the writer drains
+        # it, so it must fit alongside the step's high-water mark, not the
+        # between-steps usage (bytes_in_use between steps looked fine and
+        # still OOM'd the real chip)
+        used = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        if not limit or used is None:
+            return False  # can't verify -> don't gamble a mid-run OOM
+        need = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(state)
+            if hasattr(x, "dtype")
+        )
+        return used + need * headroom < limit
+    except Exception:
+        return False
+
+
 class AsyncCheckpointWriter:
     """Serialize checkpoint writes onto a single background thread.
 

@@ -50,6 +50,7 @@ from synfmc_tpu.training.optim import make_lr_schedule, make_optimizer
 from synfmc_tpu.training.pipeline_io import (
     AsyncCheckpointWriter,
     ThreadPrefetcher,
+    snapshot_fits_on_device,
     snapshot_on_device,
 )
 from synfmc_tpu.training.params import (
@@ -476,6 +477,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
             f"host but train_batch_size={loader.batch_size} with "
             f"drop_last — no full batch can be formed"
         )
+    start_batch = 0
     if global_step:
         # Exact data-order continuation after a crash-restart: restore the
         # epoch counter AND skip the already-consumed batches of the partial
@@ -483,31 +485,23 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         # run's.  (The reference restores only epoch/first_epoch and replays
         # the epoch from its start, train_cam_ctrl.py:467-495.)
         epoch, start_batch = divmod(global_step, len(loader))
-        loader.set_epoch(epoch, start_batch=start_batch)
         logger.info(
             f"resume data order: epoch {epoch}, skipping {start_batch} "
             f"already-consumed batches"
         )
 
     def _batch_source():
-        """(epoch, raw, device batch) stream with epoch rollover.
+        """(epoch, raw, device batch) stream.
 
         Runs on the prefetch thread: loader wait + tokenize + device
         transfer for batch N+1 overlap the device executing step N — the
         host path (0.3–1.4 s measured) no longer serializes with the
-        0.26 s device step.  Prefetch changes WHEN a batch is staged,
-        never WHICH batch: content is a pure function of (seed, epoch,
-        idx), so prefetched == serial bit-for-bit.
+        0.26 s device step.  ``loader.epochs`` keeps jobs flowing across
+        epoch boundaries (no per-epoch drain stall).  Prefetch changes WHEN
+        a batch is staged, never WHICH batch: content is a pure function of
+        (seed, epoch, idx), so prefetched == serial bit-for-bit.
         """
-        ep, it = epoch, iter(loader)
-        while True:
-            try:
-                raw = next(it)
-            except StopIteration:
-                ep += 1
-                loader.set_epoch(ep)
-                it = iter(loader)
-                raw = next(it)
+        for ep, raw in loader.epochs(start_epoch=epoch, start_batch=start_batch):
             yield ep, raw, to_device_batch(raw)
 
     prefetch_depth = int(config.get("prefetch_batches", 1))
@@ -570,8 +564,20 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
             if ckpt_steps > 0 and global_step % ckpt_steps == 0:
                 # device-side snapshot (async dispatch, ordered before the
                 # next step's donation) -> writer thread does the device
-                # fetch + Orbax + torch-bundle serialization off the hot loop
-                to_save = snapshot_on_device(state) if async_ckpt else state
+                # fetch + Orbax + torch-bundle serialization off the hot
+                # loop.  When HBM can't hold a second train state (full-scale
+                # b=1 runs near the limit), fall back to a blocking host
+                # fetch — serialization + disk still leave the hot loop.
+                # `ckpt_device_snapshot: always|never` overrides the check.
+                snap_mode = str(config.get("ckpt_device_snapshot", "auto"))
+                if not async_ckpt:
+                    to_save = state
+                elif snap_mode == "always" or (
+                    snap_mode != "never" and snapshot_fits_on_device(state)
+                ):
+                    to_save = snapshot_on_device(state)
+                else:
+                    to_save = fetch_to_host(state)
                 if jax.process_count() > 1 and not tree_locally_coverable(to_save):
                     # ZeRO layout spans processes: gather COLLECTIVELY here,
                     # synchronously on every process, so per-process device
@@ -594,6 +600,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         ckpt_writer.wait()  # surface write failures; order the final save
         if prefetcher is not None:
             prefetcher.close()
+        loader.close()
 
     if global_step != last_saved_step:
         to_save = state

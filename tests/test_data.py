@@ -274,6 +274,43 @@ def test_loader_midepoch_resume_and_worker_invariance(data_root):
         assert a["captions"] == b["captions"]
 
 
+def test_loader_epochs_stream_matches_iter(data_root):
+    """loader.epochs() (the trainer's seamless cross-epoch stream) yields
+    the IDENTICAL (epoch, batch) sequence as repeated set_epoch+__iter__,
+    with 0 and 2 workers, including a mid-epoch start."""
+    import itertools
+
+    def mk(workers):
+        ds = UnrealTrajVideoDataset(**data_root, sample_n_frames=4,
+                                    sample_size=(64, 96), max_objects=3, seed=3)
+        return ShardedLoader(ds, 1, UnrealTrajVideoDataset.collate_fn,
+                             num_workers=workers, process_index=0,
+                             process_count=1, seed=11)
+
+    ref = mk(0)
+    seq = []
+    for ep in range(3):
+        ref.set_epoch(ep)
+        seq += [(ep, b) for b in ref]
+    n = len(seq) // 3
+
+    for workers in (0, 2):
+        ldr = mk(workers)
+        got = list(itertools.islice(ldr.epochs(), len(seq)))
+        ldr.close()
+        assert [e for e, _ in got] == [e for e, _ in seq]
+        for (_, a), (_, b) in zip(got, seq):
+            np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+            assert a["captions"] == b["captions"]
+
+    # mid-epoch start: epoch 1, batch 1 onward
+    ldr = mk(2)
+    got = list(itertools.islice(ldr.epochs(start_epoch=1, start_batch=1), n))
+    ldr.close()
+    for (_, a), (_, b) in zip(got, seq[n + 1 :]):
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+
+
 def test_verb_morphology():
     from synfmc_tpu.data.captions import present_continuous, third_person_singular
 

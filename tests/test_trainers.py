@@ -189,20 +189,34 @@ def test_prefetch_and_async_ckpt_equal_serial(fixture_kwargs, tmp_path):
     cfg_p = _config("cam", fixture_kwargs, tmp_path)
     cfg_p["output_dir"] = str(tmp_path / "pipelined")
     cfg_p.update(prefetch_batches=2, async_checkpointing=True,
+                 ckpt_device_snapshot="always",  # pin the snapshot path
                  record_loss_history=True)
     m_p = train("cam", cfg_p, max_steps_override=4)
 
     np.testing.assert_array_equal(
         np.asarray(m_s["loss_history"]), np.asarray(m_p["loss_history"])
     )
+    # the HBM-pressure fallback (blocking host fetch instead of a device
+    # snapshot) must produce the same checkpoints too
+    cfg_n = _config("cam", fixture_kwargs, tmp_path)
+    cfg_n["output_dir"] = str(tmp_path / "no_snapshot")
+    cfg_n.update(prefetch_batches=1, async_checkpointing=True,
+                 ckpt_device_snapshot="never", record_loss_history=True)
+    m_n = train("cam", cfg_n, max_steps_override=4)
+    np.testing.assert_array_equal(
+        np.asarray(m_s["loss_history"]), np.asarray(m_n["loss_history"])
+    )
+
     ckptr = ocp.PyTreeCheckpointer()
     for step in (2, 4):
         t_s = ckptr.restore(os.path.join(m_s["run_dir"], "checkpoints", f"step-{step}"))
         t_p = ckptr.restore(os.path.join(m_p["run_dir"], "checkpoints", f"step-{step}"))
-        ls, lp = jax.tree.leaves(t_s), jax.tree.leaves(t_p)
-        assert len(ls) == len(lp) > 0
-        for a, b in zip(ls, lp):
+        t_n = ckptr.restore(os.path.join(m_n["run_dir"], "checkpoints", f"step-{step}"))
+        ls, lp, ln = jax.tree.leaves(t_s), jax.tree.leaves(t_p), jax.tree.leaves(t_n)
+        assert len(ls) == len(lp) == len(ln) > 0
+        for a, b, c in zip(ls, lp, ln):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
 def test_empty_loader_raises_clear_error(fixture_kwargs, tmp_path):
