@@ -38,7 +38,21 @@ import numpy as np
 def _ckptr():
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer()
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    # Multi-process: saves happen on rank 0 only, from HOST trees gathered
+    # by fetch_to_host — so scope Orbax's internal barriers to THIS process.
+    # A default (global-barrier) save from one rank desyncs the other ranks'
+    # training collectives: observed as a gloo "preamble.length 64 vs 2"
+    # crash in tests/test_multihost.py when rank 0 checkpointed.
+    opts = ocp.options.MultiprocessingOptions(
+        primary_host=None,
+        active_processes={jax.process_index()},
+        barrier_sync_key_prefix=f"synfmc-p{jax.process_index()}",
+    )
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(), multiprocessing_options=opts
+    )
 
 
 def save_native(ckpt_dir: str, step: int, state: Any) -> str:
