@@ -86,12 +86,65 @@ def _plucker_for(pipe, info, prompts, video_length, camera_txt):
     return plucker_embedding(intr, c2w, h, w)
 
 
-def make_handler(args, config, pipe, info, lock):
+def make_run_group(args, pipe, info):
+    """Build the batched pipeline call the MicroBatcher dispatches.
+
+    Per-request seeds stay exact (per-request latents from PRNGKey(seed),
+    concatenated); group size pads to a power-of-two bucket so compiled
+    batch shapes stay bounded; outputs split back per request.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synfmc_tpu.serving.batcher import bucket_size
+
+    def run_group(jobs, key):
+        f, steps, guidance = key
+        h, w = info["sample_size"]
+        hl, wl = h // 8, w // 8
+        prompts = [p for j in jobs for p in j.prompts]
+        lat = [
+            jax.random.normal(jax.random.PRNGKey(j.seed), (j.n, f, hl, wl, 4), jnp.float32)
+            * pipe.schedule.init_noise_sigma
+            for j in jobs
+        ]
+        plks = [_plucker_for(pipe, info, j.prompts, f, j.camera_txt) for j in jobs]
+        n = len(prompts)
+        pad = bucket_size(n, args.max_batch) - n
+        if pad:
+            prompts = prompts + [prompts[-1]] * pad
+            lat.append(jnp.repeat(lat[-1][-1:], pad, axis=0))
+            if plks[-1] is not None:
+                plks.append(jnp.repeat(plks[-1][-1:], pad, axis=0))
+        latents = jnp.concatenate(lat)
+        plucker = jnp.concatenate(plks) if plks[0] is not None else None
+        if len(jobs) > 1 or pad:
+            print(f"# serve: batched {len(jobs)} request(s), {n} sample(s) "
+                  f"-> bucket {n + pad}", flush=True)
+        video = np.asarray(pipe(
+            prompts, video_length=f, height=h, width=w,
+            num_inference_steps=steps, guidance_scale=guidance,
+            latents=latents, plucker=plucker,
+            deepcache_interval=args.deepcache, cfg_cache_interval=args.cfg_cache,
+            solver=args.solver, decode_chunk=args.decode_chunk,
+        ))
+        out, ofs = [], 0
+        for j in jobs:
+            out.append(video[ofs : ofs + j.n])
+            ofs += j.n
+        return out
+
+    return run_group
+
+
+def make_handler(args, config, pipe, info, batcher):
     from http.server import BaseHTTPRequestHandler
 
     import jax
     import numpy as np
 
+    from synfmc_tpu.serving.batcher import Job
     from synfmc_tpu.utils.video import save_videos_grid
 
     class Handler(BaseHTTPRequestHandler):
@@ -131,21 +184,15 @@ def make_handler(args, config, pipe, info, lock):
                 steps = int(req.get("num_inference_steps", args.num_inference_steps))
                 guidance = float(req.get("guidance_scale", 8.0))
                 seed = int(req.get("seed", args.seed))
-                h, w = info["sample_size"]
                 t0 = time.time()
-                with lock:  # one request on the chip at a time
-                    plucker = _plucker_for(pipe, info, prompts, f,
-                                           req.get("camera_txt"))
-                    video = pipe(
-                        prompts, video_length=f, height=h, width=w,
-                        num_inference_steps=steps, guidance_scale=guidance,
-                        rng=jax.random.PRNGKey(seed), plucker=plucker,
-                        deepcache_interval=args.deepcache,
-                        cfg_cache_interval=args.cfg_cache,
-                        solver=args.solver,
-                        decode_chunk=args.decode_chunk,
-                    )
-                    video = np.asarray(video)
+                # the MicroBatcher's dispatch thread owns the chip; under
+                # concurrent load, same-shape requests coalesce into one
+                # batched pipeline call (--max-batch)
+                video = batcher.submit(Job(
+                    prompts=prompts, seed=seed,
+                    camera_txt=req.get("camera_txt"),
+                    video_length=f, steps=steps, guidance=guidance,
+                ))
                 buf = io.BytesIO()
                 # save_videos_grid writes files; give it a temp path, read back
                 import tempfile
@@ -190,13 +237,26 @@ def main():
     p.add_argument("--warmup", action="store_true",
                    help="run one generation at startup so the first request "
                         "doesn't pay the compile")
+    p.add_argument("--max-batch", type=int, default=1,
+                   help="coalesce concurrent same-shape requests into one "
+                        "batched pipeline call, up to this many samples "
+                        "(power-of-two buckets; 1 = serialize like before)")
+    p.add_argument("--batch-window", type=float, default=0.0,
+                   help="seconds to wait for same-shape followers after "
+                        "picking up a request (0 = coalesce only when "
+                        "requests are already queued)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend (tests)")
     args = p.parse_args()
     if args.turbo:
         args.deepcache = args.cfg_cache = args.turbo
 
     config, pipe, info = _build(args)
-    lock = threading.Lock()
+
+    from synfmc_tpu.serving.batcher import MicroBatcher
+
+    batcher = MicroBatcher(make_run_group(args, pipe, info),
+                           max_batch=args.max_batch,
+                           batch_window=args.batch_window)
 
     if args.warmup:
         import jax
@@ -214,7 +274,7 @@ def main():
     from http.server import ThreadingHTTPServer
 
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(args, config, pipe, info, lock))
+                                 make_handler(args, config, pipe, info, batcher))
     print(f"# serve: listening on {args.host}:{server.server_address[1]} "
           f"(stage={info['stage']})", flush=True)
     server.serve_forever()

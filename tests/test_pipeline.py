@@ -446,3 +446,24 @@ def test_frame_parallel_actually_partitions_the_unet(pipe):
         f"sp mesh did not partition the UNet: per-device flops {per_dev:.3e} "
         f"vs unsharded {full:.3e} (expected ≲ 1/8 + collective overhead)"
     )
+
+
+def test_pipeline_batch_invariance(pipe):
+    """Batching two requests into one call (the serving MicroBatcher's
+    contract) must reproduce each solo run: per-sample latents are supplied
+    explicitly, so only UNet/VAE batch invariance is in play."""
+    hl, wl = H // 8, W // 8
+    sigma = pipe.schedule.init_noise_sigma
+    lat_a = jax.random.normal(jax.random.PRNGKey(7), (1, F, hl, wl, 4), jnp.float32) * sigma
+    lat_b = jax.random.normal(jax.random.PRNGKey(8), (1, F, hl, wl, 4), jnp.float32) * sigma
+
+    kw = dict(video_length=F, height=H, width=W, num_inference_steps=3)
+    solo_a = pipe(["a red car"], latents=lat_a, **kw)
+    solo_b = pipe(["a blue boat"], latents=lat_b, **kw)
+    both = pipe(["a red car", "a blue boat"],
+                latents=jnp.concatenate([lat_a, lat_b]), **kw)
+
+    np.testing.assert_allclose(np.asarray(both[0]), np.asarray(solo_a[0]),
+                               atol=2e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo_b[0]),
+                               atol=2e-4, rtol=0)

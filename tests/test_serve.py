@@ -42,7 +42,8 @@ def test_serve_generate(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--config", str(cfg_path),
          "--port", port, "--cpu", "--video-length", "4",
-         "--num-inference-steps", "2", "--turbo", "2"],
+         "--num-inference-steps", "2", "--turbo", "2",
+         "--max-batch", "2", "--batch-window", "2.0"],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     base = f"http://127.0.0.1:{port}"
@@ -85,9 +86,39 @@ def test_serve_generate(tmp_path):
             assert "prompt" in json.loads(e.read())["error"]
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
             assert json.loads(r.read())["status"] == "ok"
+
+        # concurrent same-shape requests coalesce into ONE batched pipeline
+        # call (--max-batch 2); different seeds must yield different clips
+        import threading
+
+        gifs = {}
+
+        def fire(seed):
+            rq = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"prompt": "a red robot walks",
+                                 "video_length": 4, "num_inference_steps": 2,
+                                 "seed": seed}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(rq, timeout=420) as r:
+                gifs[seed] = r.read()
+
+        ts = [threading.Thread(target=fire, args=(s,)) for s in (11, 12)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=420)
+        assert gifs[11][:6] in (b"GIF87a", b"GIF89a")
+        assert gifs[12][:6] in (b"GIF87a", b"GIF89a")
+        assert gifs[11] != gifs[12], "different seeds produced identical clips"
     finally:
         proc.terminate()
         try:
-            proc.wait(timeout=10)
+            out, _ = proc.communicate(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+            out, _ = proc.communicate(timeout=10)
+    # batched-dispatch evidence (batch-window 2s makes the concurrent
+    # pair coalesce; the shape is compiled at bucket 2)
+    assert "batched" in out, out[-2000:]
