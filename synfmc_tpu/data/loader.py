@@ -68,6 +68,17 @@ def _worker_loop(dataset, collate_fn, job_q, out_q, seed: int,
     keeps their streams epoch-varying.
     """
     import os
+    import signal
+
+    # Reset inherited signal dispositions: the trainer installs a
+    # preemption handler (SIGTERM -> checkpoint+exit) in the PARENT, and a
+    # forked worker inheriting it becomes unkillable by Process.terminate()
+    # — close() then hangs joining it at interpreter exit (observed: the
+    # preemption e2e test leaked a training process that ran for an hour).
+    # Workers are stateless; default-die on TERM, ignore ctrl-C (the parent
+    # checkpoints and shuts the pool down cleanly).
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
 
     _poison_jax_in_worker()
     # budget the native decoder's C++ threads so num_workers processes don't

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import datetime
 import os
+import signal
+import threading
 import time
 from typing import Any, Optional
 
@@ -511,6 +513,29 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     if prefetch_depth > 0:
         source = prefetcher = ThreadPrefetcher(source, depth=prefetch_depth)
     ckpt_writer = AsyncCheckpointWriter()
+
+    # Preemption-safe training (the reference has NO failure handling —
+    # SURVEY.md §5: a crash kills the torchrun job): SIGTERM/SIGINT request a
+    # clean stop; the loop finishes the in-flight step, falls through to the
+    # end-of-training save, and exits 0 — so `resume_from: auto` continues a
+    # preempted run from its exact stopping step.  Handlers install only in
+    # the main thread (train() may be called from test threads) and the
+    # previous handlers are restored on exit.
+    stop_requested = threading.Event()
+    _old_handlers = {}
+    if bool(config.get("checkpoint_on_preemption", True)):
+        def _on_signal(signum, frame):
+            stop_requested.set()
+            logger.warning(
+                f"received signal {signum}: will checkpoint at the end of "
+                f"the current step and exit cleanly"
+            )
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                _old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not the main thread
+                break
+
     data_t0 = time.time()
     try:
         while global_step < max_steps:
@@ -596,11 +621,20 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
                         _save_checkpoints(stage, run_dir, global_step, epoch, to_save, config)
                 last_saved_step = global_step
             data_t0 = time.time()
+            if stop_requested.is_set():
+                logger.info(
+                    f"stopping on preemption signal at step {global_step}; "
+                    f"final checkpoint follows"
+                )
+                metrics_out["preempted"] = True
+                break
     finally:
         ckpt_writer.wait()  # surface write failures; order the final save
         if prefetcher is not None:
             prefetcher.close()
         loader.close()
+        for sig, handler in _old_handlers.items():
+            signal.signal(sig, handler)
 
     if global_step != last_saved_step:
         to_save = state

@@ -219,6 +219,68 @@ def test_prefetch_and_async_ckpt_equal_serial(fixture_kwargs, tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_preemption_checkpoints_and_resumes(fixture_kwargs, tmp_path):
+    """SIGTERM mid-run -> the trainer finishes the in-flight step, writes a
+    checkpoint, and exits 0 (the reference has no failure handling at all,
+    SURVEY.md §5); `resume_from: auto` then continues from that exact step."""
+    import signal
+    import subprocess
+    import sys
+
+    from synfmc_tpu.config import save_config
+
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["output_dir"] = str(tmp_path / "out_pre")
+    cfg["checkpointing_steps"] = -1  # only the preemption save may write
+    cfg["max_train_steps"] = 500  # far more than we let it run
+    cfg_path = str(tmp_path / "pre.yaml")
+    save_config(cfg, cfg_path)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/train.py", "--stage", "cam", "--config", cfg_path],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        # wait until a few steps have logged, then preempt
+        import time as _time
+
+        deadline = _time.time() + 600
+        logged = False
+        while _time.time() < deadline and not logged:
+            if proc.poll() is not None:
+                _, err = proc.communicate()
+                raise AssertionError(f"trainer died early: {err[-2000:]}")
+            for log in glob.glob(os.path.join(cfg["output_dir"], "*", "log.txt")):
+                if "step 3/" in open(log).read():
+                    logged = True
+                    break
+            _time.sleep(1)
+        assert logged, "trainer never reached step 3"
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)
+    assert proc.returncode == 0, err[-2000:]
+    assert "'preempted': True" in out, out[-1000:]
+
+    ckpts = glob.glob(os.path.join(cfg["output_dir"], "*", "checkpoints", "step-*"))
+    assert ckpts, "preemption wrote no checkpoint"
+    saved_step = max(int(os.path.basename(c)[5:]) for c in ckpts)
+    assert saved_step >= 3
+
+    # resume continues from the preempted step
+    cfg2 = _config("cam", fixture_kwargs, tmp_path)
+    cfg2["output_dir"] = cfg["output_dir"]
+    cfg2["resume_from"] = "auto"
+    m = train("cam", cfg2, max_steps_override=saved_step + 2)
+    assert m["steps"] == saved_step + 2
+    assert np.isfinite(m["loss"])
+
+
 def test_empty_loader_raises_clear_error(fixture_kwargs, tmp_path):
     """batch_size > per-host dataset size must fail with a clear message,
     not an escaping StopIteration (found by the full-scale lora smoke)."""
