@@ -67,6 +67,7 @@ class UNet3D(nn.Module):
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
     motion_lora_rank: int = 0
+    motion_lora_scale: float = 1.0
     # camera conditioning (CMC)
     camera_cond: bool = False
     decoder_add_posecond: bool = True
@@ -141,6 +142,7 @@ class UNet3D(nn.Module):
             motion_pe_max_len=self.motion_pe_max_len,
             motion_zero_initialize=self.motion_zero_initialize,
             motion_lora_rank=self.motion_lora_rank,
+            motion_lora_scale=self.motion_lora_scale,
             pose_cond_blocks=pose_blocks,
             pose_scale=self.pose_scale,
         )

@@ -46,6 +46,7 @@ class _MotionMixin:
             pose_cond_blocks=self.pose_cond_blocks,
             pose_scale=self.pose_scale,
             lora_rank=self.motion_lora_rank,
+            lora_scale=self.motion_lora_scale,
             zero_initialize=self.motion_zero_initialize,
             dtype=self.dtype,
             name=name,
@@ -65,6 +66,7 @@ class CrossAttnDownBlock3D(nn.Module, _MotionMixin):
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
     motion_lora_rank: int = 0
+    motion_lora_scale: float = 1.0
     pose_cond_blocks: Sequence[int] = ()
     pose_scale: float = 1.0
     lora_rank: int = 0  # divisor rule applied by caller; 0 disables
@@ -119,6 +121,7 @@ class DownBlock3D(nn.Module, _MotionMixin):
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
     motion_lora_rank: int = 0
+    motion_lora_scale: float = 1.0
     pose_cond_blocks: Sequence[int] = ()
     pose_scale: float = 1.0
     dtype: Any = jnp.float32
@@ -156,6 +159,7 @@ class UNetMidBlock3DCrossAttn(nn.Module, _MotionMixin):
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
     motion_lora_rank: int = 0
+    motion_lora_scale: float = 1.0
     pose_cond_blocks: Sequence[int] = ()
     pose_scale: float = 1.0
     lora_rank: int = 0
@@ -205,6 +209,7 @@ class CrossAttnUpBlock3D(nn.Module, _MotionMixin):
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
     motion_lora_rank: int = 0
+    motion_lora_scale: float = 1.0
     pose_cond_blocks: Sequence[int] = ()
     pose_scale: float = 1.0
     lora_rank: int = 0
@@ -248,6 +253,7 @@ class UpBlock3D(nn.Module, _MotionMixin):
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
     motion_lora_rank: int = 0
+    motion_lora_scale: float = 1.0
     pose_cond_blocks: Sequence[int] = ()
     pose_scale: float = 1.0
     dtype: Any = jnp.float32

@@ -73,8 +73,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Put a host batch onto the mesh, sharded on the leading axis.
+def shard_batch(batch: Any, mesh: Mesh, stacked: bool = False) -> Any:
+    """Put a host batch onto the mesh, sharded on the leading batch axis.
+
+    ``stacked=True`` is the gradient-accumulation layout: every leaf carries
+    a leading MICRO axis (k, B, ...) that stays unsharded (each micro runs
+    sequentially inside the step's fori_loop), and the data/sp rules below
+    apply one axis deeper.
 
     Multi-process: ``batch`` is this process's LOCAL shard (per-host loading
     via ``local_shard_indices``); the global batch is the concatenation over
@@ -83,21 +88,23 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     Replication (small arrays like ``null_ids``) is value-identical across
     processes, where plain ``device_put`` is multi-process-safe.
     """
-    s = batch_sharding(mesh)
     r = replicated(mesh)
     nsp = mesh.shape.get("sp", 1)
-    s2 = NamedSharding(mesh, P("data", "sp")) if nsp > 1 else s
     nproc = jax.process_count()
+    lead = 1 if stacked else 0  # index of the batch axis
 
     def put(x):
         x = np.asarray(x)
-        shardable = x.ndim >= 1 and (x.shape[0] * nproc) % mesh.shape["data"] == 0
+        shardable = x.ndim >= lead + 1 and (x.shape[lead] * nproc) % mesh.shape["data"] == 0
         if not shardable:
             return jax.device_put(x, r)
         # frame axis over 'sp' where it divides (pixels, masks, camera_rt,
-        # intrinsics, obj_info all carry frames on axis 1; token arrays like
-        # input_ids (B, 77) don't divide and stay data-only)
-        sh = s2 if (nsp > 1 and x.ndim >= 2 and x.shape[1] % nsp == 0) else s
+        # intrinsics, obj_info all carry frames right after the batch axis;
+        # token arrays like input_ids (B, 77) don't divide and stay data-only)
+        spec = [None] * lead + ["data"]
+        if nsp > 1 and x.ndim >= lead + 2 and x.shape[lead + 1] % nsp == 0:
+            spec.append("sp")
+        sh = NamedSharding(mesh, P(*spec))
         if nproc == 1:
             return jax.device_put(x, sh)
         return jax.make_array_from_process_local_data(sh, x)

@@ -67,7 +67,7 @@ def build_pipeline(
     models = build_models(config, stage, dtype=dtype)
     params = init_params(models, config, stage, jax.random.PRNGKey(seed),
                          sample_size, video_length)
-    params = load_pretrained(params, config, stage, logger)
+    params, _ = load_pretrained(params, config, stage, logger)
     if omcm_ckpt:
         bundle = ckpt.torch_load_state_dict(omcm_ckpt)
         params["adapter"] = ckpt.load_into_params(

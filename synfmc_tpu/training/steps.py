@@ -112,17 +112,78 @@ def _maybe_remat(apply_fn, cfg: StepConfig):
     return jax.checkpoint(apply_fn)
 
 
-def make_lora_train_step(
-    unet, vae, text_encoder, schedule: DiffusionSchedule, tx: optax.GradientTransformation,
-    cfg: StepConfig = StepConfig(),
+def _apply_grads(state: TrainState, grads, metrics, tx) -> tuple[TrainState, dict]:
+    """Shared optimizer tail: clip+AdamW update, step bump."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+    trainable = optax.apply_updates(state.trainable, updates)
+    new_state = TrainState(step=state.step + 1, trainable=trainable, opt_state=opt_state)
+    return new_state, metrics
+
+
+def step_from_grads(grads_fn: Callable, tx: optax.GradientTransformation) -> Callable:
+    """grads_fn -> step_fn (grads + optimizer apply)."""
+
+    def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+        grads, metrics = grads_fn(state.trainable, frozen, batch, rng)
+        return _apply_grads(state, grads, metrics, tx)
+
+    return step_fn
+
+
+def make_accumulating_step(
+    grads_fn: Callable, tx: optax.GradientTransformation, accum_steps: int
 ) -> Callable:
+    """REAL gradient accumulation over ``accum_steps`` micro-batches.
+
+    The reference declares ``gradient_accumulation_steps`` but never
+    accumulates — the knob only scales its lr-scheduler arithmetic
+    (train_cam_obj_ctrl.py:486-487; no ``% gradient_accumulation_steps``
+    exists around any backward).  Here it is implemented for real, TPU-style:
+    the batch arrives STACKED on a leading micro axis (k, B, ...), a
+    ``fori_loop`` accumulates mean gradients micro-by-micro (activations live
+    only per-micro — the memory of a B-batch step, the statistics of a
+    k*B-batch step), and one optimizer update applies per call.  Each micro
+    draws its own RNG via ``fold_in(rng, i)`` so noise/timesteps stay
+    per-sample-independent exactly as k separate steps would.
+
+    Equivalent large-batch semantics: every per-micro loss is a mean over its
+    samples, so the mean of micro-gradients equals the gradient of the mean
+    loss over all k*B samples.
+    """
+    assert accum_steps >= 2, "use the plain step for accum_steps == 1"
+
+    def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+        def micro(i):
+            mb = jax.tree_util.tree_map(lambda x: x[i], batch)
+            return grads_fn(state.trainable, frozen, mb, jax.random.fold_in(rng, i))
+
+        def body(i, carry):
+            acc, macc = carry
+            g, m = micro(i)
+            return (
+                jax.tree_util.tree_map(jnp.add, acc, g),
+                jax.tree_util.tree_map(jnp.add, macc, m),
+            )
+
+        grads, metrics = jax.lax.fori_loop(1, accum_steps, body, micro(0))
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
+        metrics = jax.tree_util.tree_map(lambda x: x * inv, metrics)
+        return _apply_grads(state, grads, metrics, tx)
+
+    return step_fn
+
+
+def make_lora_grads_fn(unet, vae, text_encoder, schedule: DiffusionSchedule,
+                       cfg: StepConfig = StepConfig()) -> Callable:
     """Stage 1: Domain-LoRA image fine-tune (train_image_lora.py:307-381).
 
     batch: pixel_values (B, H, W, 3), input_ids (B, 77), null_ids (77,).
+    Returns (grads, metrics) for one micro-batch.
     """
     unet_apply = _maybe_remat(unet.apply, cfg)
 
-    def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+    def grads_fn(trainable_tree, frozen: dict, batch: dict, rng: jax.Array):
         rngs = jax.random.split(rng, 8)
         ids = _select_text(rngs, batch, cfg)
         pixels = batch["pixel_values"][:, None]  # F=1
@@ -137,28 +198,32 @@ def make_lora_train_step(
             pred = unet_apply(unet_params, noisy, t, context)
             return mse(pred, noise)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        trainable = optax.apply_updates(state.trainable, updates)
-        new_state = TrainState(step=state.step + 1, trainable=trainable, opt_state=opt_state)
-        return new_state, {"loss": loss}
+        loss, grads = jax.value_and_grad(loss_fn)(trainable_tree)
+        return grads, {"loss": loss}
 
-    return step_fn
+    return grads_fn
 
 
-def make_cam_train_step(
+def make_lora_train_step(
+    unet, vae, text_encoder, schedule: DiffusionSchedule, tx: optax.GradientTransformation,
+    cfg: StepConfig = StepConfig(),
+) -> Callable:
+    return step_from_grads(make_lora_grads_fn(unet, vae, text_encoder, schedule, cfg), tx)
+
+
+def make_cam_grads_fn(
     unet, pose_encoder, vae, text_encoder, schedule: DiffusionSchedule,
-    tx: optax.GradientTransformation, cfg: StepConfig = StepConfig(apply_masked_loss=True),
+    cfg: StepConfig = StepConfig(apply_masked_loss=True),
 ) -> Callable:
     """Stage 2: CMC training (train_cam_ctrl.py:509-665).
 
     batch: pixel_values (B,F,H,W,3), input_ids/background_ids (B,77),
     null_ids (77,), camera_rt (B,F,12), intrinsics (B,F,4),
-    obj_union_mask (B,F,H,W,1).
+    obj_union_mask (B,F,H,W,1).  Returns (grads, metrics).
     """
     unet_apply = _maybe_remat(unet.apply, cfg)
 
-    def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+    def grads_fn(trainable_tree, frozen: dict, batch: dict, rng: jax.Array):
         rngs = jax.random.split(rng, 8)
         ids = _select_text(rngs, batch, cfg)
 
@@ -190,18 +255,23 @@ def make_cam_train_step(
                 loss = loss + cfg.appearance_debias * appearance_debias_loss(pred, noise, rngs[7])
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        trainable = optax.apply_updates(state.trainable, updates)
-        new_state = TrainState(step=state.step + 1, trainable=trainable, opt_state=opt_state)
-        return new_state, {"loss": loss, **metrics}
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable_tree)
+        return grads, {"loss": loss, **metrics}
 
-    return step_fn
+    return grads_fn
 
 
-def make_obj_train_step(
+def make_cam_train_step(
+    unet, pose_encoder, vae, text_encoder, schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation, cfg: StepConfig = StepConfig(apply_masked_loss=True),
+) -> Callable:
+    return step_from_grads(
+        make_cam_grads_fn(unet, pose_encoder, vae, text_encoder, schedule, cfg), tx
+    )
+
+
+def make_obj_grads_fn(
     unet, pose_encoder, adapter, vae, text_encoder, schedule: DiffusionSchedule,
-    tx: optax.GradientTransformation,
     cfg: StepConfig = StepConfig(apply_masked_loss=True, invert_loss_mask=False,
                                  sd_loss_weight=0.3),
 ) -> Callable:
@@ -209,10 +279,11 @@ def make_obj_train_step(
 
     batch adds: obj_info (B,F,O,12), obj_masks (B,F,O,H,W) — padded object
     axis replacing the reference's ragged lists (SURVEY.md §7 hard parts).
+    Returns (grads, metrics).
     """
     unet_apply = _maybe_remat(unet.apply, cfg)
 
-    def step_fn(state: TrainState, frozen: dict, batch: dict, rng: jax.Array):
+    def grads_fn(trainable_tree, frozen: dict, batch: dict, rng: jax.Array):
         rngs = jax.random.split(rng, 8)
         ids = _select_text(rngs, batch, cfg)
 
@@ -260,10 +331,18 @@ def make_obj_train_step(
                 loss = loss + cfg.appearance_debias * appearance_debias_loss(pred, noise, rngs[7])
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        trainable = optax.apply_updates(state.trainable, updates)
-        new_state = TrainState(step=state.step + 1, trainable=trainable, opt_state=opt_state)
-        return new_state, {"loss": loss, **metrics}
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable_tree)
+        return grads, {"loss": loss, **metrics}
 
-    return step_fn
+    return grads_fn
+
+
+def make_obj_train_step(
+    unet, pose_encoder, adapter, vae, text_encoder, schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    cfg: StepConfig = StepConfig(apply_masked_loss=True, invert_loss_mask=False,
+                                 sd_loss_weight=0.3),
+) -> Callable:
+    return step_from_grads(
+        make_obj_grads_fn(unet, pose_encoder, adapter, vae, text_encoder, schedule, cfg), tx
+    )

@@ -61,14 +61,17 @@ from synfmc_tpu.training.params import (
     partition_params,
     stage1_lora_trainable,
     stage2_cmc_unet_trainable,
+    stage3_mm_trainable,
     stage3_unet_trainable,
 )
 from synfmc_tpu.training.steps import (
     StepConfig,
+    step_from_grads,
     init_train_state,
-    make_cam_train_step,
-    make_lora_train_step,
-    make_obj_train_step,
+    make_accumulating_step,
+    make_cam_grads_fn,
+    make_lora_grads_fn,
+    make_obj_grads_fn,
 )
 from synfmc_tpu.utils.logger import format_time, setup_logger
 
@@ -78,6 +81,15 @@ from synfmc_tpu.utils.logger import format_time, setup_logger
 # ---------------------------------------------------------------------------
 
 SD15_TEXT = dict(vocab_size=49408, hidden_size=768, num_layers=12, num_heads=12)
+
+
+def _attn_block_indices(v) -> tuple:
+    """attention_processor_kwargs.temporal_attn_names ('0', 0, [0, 1]) ->
+    attention-block indices (cam.yaml:124: the merge installs in attention
+    block '0' of each temporal transformer)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(int(x) for x in v)
+    return tuple(int(x) for x in str(v).split(","))
 
 
 def build_models(config: ConfigDict, stage: str, dtype=jnp.float32) -> dict:
@@ -92,11 +104,19 @@ def build_models(config: ConfigDict, stage: str, dtype=jnp.float32) -> dict:
     xdim = int(ov.get("cross_attention_dim", 768))
     heads = int(ov.get("attn_heads", 8))
 
+    # attention_processor_kwargs (cam.yaml:121-129): `scale` and
+    # `temporal_attn_names` are honored; the structural booleans are
+    # validated by config_schema.validate_config (fail-loud, not silent)
+    apk = dict(config.get("attention_processor_kwargs") or {})
     unet_kwargs = unet_config_from_yaml(
         config.get("unet_additional_kwargs"),
         lora_rank=int(config.get("lora_rank", 0)),
         lora_scale=float(config.get("lora_scale", 1.0)),
         camera_cond=stage in ("cam", "obj"),
+        motion_lora_rank=int(config.get("motion_lora_rank", 0)),
+        motion_lora_scale=float(config.get("motion_lora_scale", 1.0)),
+        pose_scale=float(apk.get("scale", 1.0)),
+        pose_cond_blocks=_attn_block_indices(apk.get("temporal_attn_names", "0")),
     )
     if stage == "lora":
         unet_kwargs["use_motion_module"] = False
@@ -113,9 +133,14 @@ def build_models(config: ConfigDict, stage: str, dtype=jnp.float32) -> dict:
     out = {"unet": unet, "vae": vae, "text": text}
     if stage in ("cam", "obj"):
         pk = dict(config.get("pose_encoder_kwargs", {}) or {})
+        # pose_encoder_kwargs.channels (cam.yaml:110) is honored at full
+        # scale; model_overrides shrinks EVERY module consistently, so an
+        # overridden UNet width takes precedence over the YAML's literal dims
+        # (same rule as config_schema's pose_feature_dimensions check)
+        yaml_pose_chs = chs if "block_out_channels" in ov else pk.get("channels", chs)
         out["pose_encoder"] = CameraPoseEncoder(
             downscale_factor=int(pk.get("downscale_factor", 8)),
-            channels=tuple(ov.get("pose_channels", chs)),
+            channels=tuple(ov.get("pose_channels", yaml_pose_chs)),
             nums_rb=int(pk.get("nums_rb", 2)),
             ksize=int(pk.get("ksize", 1)),
             temporal_attention_nhead=int(pk.get("temporal_attention_nhead", 8)),
@@ -199,15 +224,17 @@ def _device_mem_str() -> str:
 from synfmc_tpu.config import is_placeholder_path as _is_placeholder
 
 
-def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dict:
+def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> tuple[dict, dict]:
     """Load SD1.5 / AnimateDiff / previous-stage checkpoints when paths are
-    real.
+    real.  Returns ``(params, meta)`` where meta carries side-band values a
+    bundle provides beyond weights (today: ``omcm_global_step``).
 
     A configured-but-missing path is NEVER silent: a typo'd checkpoint path
     would otherwise train from random init while looking healthy.  Missing
     non-placeholder paths log at ERROR, and ``strict_pretrained: true``
     makes them fatal (the right setting for real runs).
     """
+    meta: dict = {}
     strict = bool(config.get("strict_pretrained", False))
 
     def real(p) -> bool:
@@ -252,8 +279,30 @@ def load_pretrained(params: dict, config: ConfigDict, stage: str, logger) -> dic
         params["unet"] = ckpt.load_into_params(
             params["unet"], bundle["attention_processor_state_dict"], "unet"
         )
+        if "mm_state_dict" in bundle:
+            # reference stage 3 does NOT load mm_state_dict from the CMC
+            # bundle (train_cam_obj_ctrl.py:283-292 reads only pose encoder +
+            # attention processors) — quirk preserved; note it loudly.
+            logger.info(
+                "stage-2 bundle carries mm_state_dict (train_mm run); the "
+                "reference stage-3 load path ignores it — matching that"
+            )
         logger.info(f"loaded stage-2 CMC from {cm_path}")
-    return params
+    if stage == "obj":
+        om_path = (config.get("omcm_config") or {}).get("pretrained")
+        if real(om_path):
+            # warm-start the OMC adapter and resume its step count
+            # (train_cam_obj_ctrl.py:296-313, 574-578)
+            bundle = ckpt.torch_load_state_dict(str(om_path))
+            params["adapter"] = ckpt.load_into_params(
+                params["adapter"], bundle["omcm_state_dict"], "adapter"
+            )
+            meta["omcm_global_step"] = int(bundle.get("global_step", 0))
+            logger.info(
+                f"loaded pretrained OMC adapter from {om_path} "
+                f"(global_step {meta['omcm_global_step']})"
+            )
+    return params, meta
 
 
 def validate_pretrained_paths(config: ConfigDict, stage: str) -> None:
@@ -281,6 +330,12 @@ def validate_pretrained_paths(config: ConfigDict, stage: str) -> None:
 def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = None) -> dict:
     """Run one training stage; returns summary metrics (for tests/bench)."""
     assert stage in ("lora", "cam", "obj")
+    from synfmc_tpu.training.config_schema import validate_config
+
+    # Strict key surface BEFORE any filesystem/model work: the reference's
+    # main(**config) raises TypeError on an unknown key (train_cam_ctrl.py:806);
+    # a typo'd key must never silently fall back to a default.
+    config_notes = validate_config(config, stage)
     name = config.get("name", f"{stage}-run")
     run_dir = os.path.join(
         str(config["output_dir"]), f"{name}-{datetime.datetime.now():%Y-%m-%dT%H-%M}"
@@ -292,6 +347,8 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     # elsewhere (utils/util.py:108-116 parity) — worker-host logs must not vanish
     logger = setup_logger(run_dir, jax.process_index())
     logger.info(f"stage={stage} run_dir={run_dir} devices={jax.device_count()}")
+    for note in config_notes:
+        logger.info(note)
 
     # Device-side RNG (init, CFG dropouts, noise, timesteps) must be
     # IDENTICAL across processes: under multi-process SPMD it is a replicated
@@ -310,13 +367,55 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     num_frames = int(train_data_cfg.get("sample_n_frames", 16))
 
     validate_pretrained_paths(config, stage)  # fail fast, before any init
+
+    # Data first: the epoch-denominated knobs below need len(loader)
+    # (reference train_cam_ctrl.py:369-375).  Worker processes spawn lazily
+    # on first iteration, so early construction costs nothing.
+    tokenizer = load_tokenizer(
+        config.get("pretrained_model_path"),
+        strict=bool(config.get("strict_pretrained", False)),
+    )
+    null_ids = tokenizer([""])[0]
+    dataset_cls = UnrealTrajLoraDataset if stage == "lora" else UnrealTrajVideoDataset
+    dataset = dataset_cls(**train_data_cfg, seed=seed)
+    loader = ShardedLoader(
+        dataset,
+        batch_size=int(config.get("train_batch_size", 1)),
+        collate_fn=dataset_cls.collate_fn,
+        num_workers=int(config.get("num_workers", 4)),
+        # GLOBAL seed: the loader's epoch shuffle must be identical on every
+        # host so the stride slices partition the dataset (DistributedSampler
+        # semantics, train_cam_ctrl.py:342).  The loader adds its own
+        # process_index offset for worker/sample RNG.
+        seed=global_seed,
+    )
+    if len(loader) == 0:
+        raise ValueError(
+            f"empty data loader: dataset has {len(dataset)} examples on this "
+            f"host but train_batch_size={loader.batch_size} with "
+            f"drop_last — no full batch can be formed"
+        )
+
     dtype = jnp.bfloat16 if config.get("mixed_precision_training", True) else jnp.float32
     models = build_models(config, stage, dtype=dtype)
     params = init_params(models, config, stage, init_rng, sample_size, num_frames)
-    params = load_pretrained(params, config, stage, logger)
+    params, pretrained_meta = load_pretrained(params, config, stage, logger)
 
     schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
     max_steps = max_steps_override or int(config.get("max_train_steps", 100))
+    if max_steps == -1:
+        # epoch-denominated run length (train_cam_ctrl.py:369-371)
+        max_train_epoch = int(config.get("max_train_epoch", -1))
+        if max_train_epoch == -1:
+            raise ValueError(
+                "max_train_steps: -1 requires max_train_epoch (reference "
+                "train_cam_ctrl.py:370 asserts the same)"
+            )
+        max_steps = max_train_epoch * len(loader)
+        logger.info(
+            f"max_train_epoch {max_train_epoch} x {len(loader)} batches/epoch "
+            f"-> max_train_steps {max_steps}"
+        )
     tx = make_optimizer(
         float(config.get("learning_rate", 1e-4)),
         max_grad_norm=float(config.get("max_grad_norm", 1.0)),
@@ -350,19 +449,30 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         remat_policy=str(config.get("gradient_checkpointing_policy", "full")),
     )
 
+    # REAL gradient accumulation (the reference's knob never accumulates —
+    # train_cam_obj_ctrl.py:486-487 only scales lr arithmetic): each
+    # global_step consumes `accum` loader batches stacked on a leading micro
+    # axis and applies ONE optimizer update of their mean gradient — the
+    # single-chip big-effective-batch lever (b=2 does not fit HBM, PERF.md).
+    accum = int(config.get("gradient_accumulation_steps", 1) or 1)
+
     # trainable/frozen partition per stage (SURVEY.md §2.1)
     if stage == "lora":
         t_unet, f_unet = partition_params(params["unet"], stage1_lora_trainable)
         trainable = {"unet": t_unet}
-        step_fn = make_lora_train_step(models["unet"], models["vae"], models["text"], schedule, tx, step_cfg)
-        dataset_cls = UnrealTrajLoraDataset
+        grads_fn = make_lora_grads_fn(models["unet"], models["vae"], models["text"], schedule, step_cfg)
     elif stage == "cam":
-        t_unet, f_unet = partition_params(params["unet"], stage2_cmc_unet_trainable)
-        trainable = {"unet": t_unet, "pose_encoder": params["pose_encoder"]}
-        step_fn = make_cam_train_step(
-            models["unet"], models["pose_encoder"], models["vae"], models["text"], schedule, tx, step_cfg
+        # train_mm additionally trains the temporal transformers' norm/proj
+        # layers (train_cam_ctrl.py:286-305 — same module rule as stage 3)
+        cam_train_mm = bool(config.get("train_mm", False))
+        t_unet, f_unet = partition_params(
+            params["unet"],
+            lambda p: stage2_cmc_unet_trainable(p) or (cam_train_mm and stage3_mm_trainable(p)),
         )
-        dataset_cls = UnrealTrajVideoDataset
+        trainable = {"unet": t_unet, "pose_encoder": params["pose_encoder"]}
+        grads_fn = make_cam_grads_fn(
+            models["unet"], models["pose_encoder"], models["vae"], models["text"], schedule, step_cfg
+        )
     else:
         train_cm = bool(config.get("train_cm", False))
         train_mm = bool(config.get("train_mm", False))
@@ -374,11 +484,12 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         trainable = {"adapter": params["adapter"], "unet": t_unet}
         if train_cm:
             trainable["pose_encoder"] = params["pose_encoder"]
-        step_fn = make_obj_train_step(
+        grads_fn = make_obj_grads_fn(
             models["unet"], models["pose_encoder"], models["adapter"],
-            models["vae"], models["text"], schedule, tx, step_cfg,
+            models["vae"], models["text"], schedule, step_cfg,
         )
-        dataset_cls = UnrealTrajVideoDataset
+    step_fn = (make_accumulating_step(grads_fn, tx, accum) if accum > 1
+               else step_from_grads(grads_fn, tx))
 
     frozen = {"unet": f_unet, "vae": {"params": params["vae"]}, "text": {"params": params["text"]}}
     if stage == "obj" and "pose_encoder" not in trainable:
@@ -407,26 +518,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         out_shardings=(state_shardings(state), NamedSharding(mesh, P())),
     )
 
-    # data
-    tokenizer = load_tokenizer(
-        config.get("pretrained_model_path"),
-        strict=bool(config.get("strict_pretrained", False)),
-    )
-    null_ids = tokenizer([""])[0]
-    dataset = dataset_cls(**train_data_cfg, seed=seed)
-    loader = ShardedLoader(
-        dataset,
-        batch_size=int(config.get("train_batch_size", 1)),
-        collate_fn=dataset_cls.collate_fn,
-        num_workers=int(config.get("num_workers", 4)),
-        # GLOBAL seed: the loader's epoch shuffle must be identical on every
-        # host so the stride slices partition the dataset (DistributedSampler
-        # semantics, train_cam_ctrl.py:342).  The loader adds its own
-        # process_index offset for worker/sample RNG.
-        seed=global_seed,
-    )
-
-    def to_device_batch(raw: dict) -> dict:
+    def host_batch(raw: dict) -> dict:
         batch = {
             "pixel_values": raw["pixel_values"],
             "input_ids": tokenizer(raw["captions"]),
@@ -442,11 +534,39 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         if stage == "obj":
             batch["obj_info"] = raw["obj_info"]
             batch["obj_masks"] = raw["obj_masks"]
-        return shard_batch(batch, mesh)
+        return batch
+
+    def to_device_batch(raw: dict) -> dict:
+        return shard_batch(host_batch(raw), mesh)
+
+    def to_device_stacked(raws: list) -> dict:
+        """accum raw batches -> one device batch stacked on a leading micro
+        axis (k, B, ...), data-sharded on the SECOND axis."""
+        hbs = [host_batch(r) for r in raws]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *hbs)
+        return shard_batch(stacked, mesh, stacked=True)
 
     ckpt_steps = int(config.get("checkpointing_steps", -1))
+    if ckpt_steps == -1:
+        # epoch-denominated checkpoint cadence (train_cam_ctrl.py:373-375).
+        # Both keys -1/absent = end-of-training checkpoint only (the final
+        # save below is unconditional, so nothing is ever lost).
+        ckpt_epochs = int(config.get("checkpointing_epochs", -1))
+        if ckpt_epochs != -1:
+            ckpt_steps = ckpt_epochs * len(loader)
+            logger.info(
+                f"checkpointing_epochs {ckpt_epochs} x {len(loader)} "
+                f"batches/epoch -> checkpointing_steps {ckpt_steps}"
+            )
     logger_interval = int(config.get("logger_interval", 10))
     global_step = 0
+    if stage == "obj" and pretrained_meta.get("omcm_global_step") is not None:
+        # warm-started OMC resumes its step count from the omcm bundle
+        # (train_cam_obj_ctrl.py:574-578; the reference quirk of NOT restoring
+        # optimizer state there is preserved — only weights + step carry over)
+        global_step = int(pretrained_meta["omcm_global_step"])
+        state = state.replace(step=jnp.asarray(global_step, jnp.int32))
+        logger.info(f"omcm_config.pretrained: resuming step count at {global_step}")
     resume_from = config.get("resume_from")
     if resume_from == "auto":
         # crash-restart convenience: resume the newest checkpoint any prior
@@ -473,12 +593,6 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     t_train_start = time.time()
     epoch = 0
     last_saved_step = -1
-    if len(loader) == 0:
-        raise ValueError(
-            f"empty data loader: dataset has {len(dataset)} examples on this "
-            f"host but train_batch_size={loader.batch_size} with "
-            f"drop_last — no full batch can be formed"
-        )
     start_batch = 0
     if global_step:
         # Exact data-order continuation after a crash-restart: restore the
@@ -486,14 +600,15 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         # epoch, so the post-resume sample sequence equals an uninterrupted
         # run's.  (The reference restores only epoch/first_epoch and replays
         # the epoch from its start, train_cam_ctrl.py:467-495.)
-        epoch, start_batch = divmod(global_step, len(loader))
+        # each global step consumes `accum` loader batches
+        epoch, start_batch = divmod(global_step * accum, len(loader))
         logger.info(
             f"resume data order: epoch {epoch}, skipping {start_batch} "
             f"already-consumed batches"
         )
 
     def _batch_source():
-        """(epoch, raw, device batch) stream.
+        """(epoch, raw, device batch) stream — one item per OPTIMIZER step.
 
         Runs on the prefetch thread: loader wait + tokenize + device
         transfer for batch N+1 overlap the device executing step N — the
@@ -502,9 +617,19 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         epoch boundaries (no per-epoch drain stall).  Prefetch changes WHEN
         a batch is staged, never WHICH batch: content is a pure function of
         (seed, epoch, idx), so prefetched == serial bit-for-bit.
+
+        With gradient accumulation, `accum` consecutive loader batches stack
+        into one (k, B, ...) device batch; the step's epoch/raw are the
+        FIRST micro's (what resume arithmetic and the sanity dump expect).
         """
-        for ep, raw in loader.epochs(start_epoch=epoch, start_batch=start_batch):
-            yield ep, raw, to_device_batch(raw)
+        it = loader.epochs(start_epoch=epoch, start_batch=start_batch)
+        if accum == 1:
+            for ep, raw in it:
+                yield ep, raw, to_device_batch(raw)
+        else:
+            while True:
+                group = [next(it) for _ in range(accum)]  # infinite stream
+                yield group[0][0], group[0][1], to_device_stacked([r for _, r in group])
 
     prefetch_depth = int(config.get("prefetch_batches", 1))
     async_ckpt = bool(config.get("async_checkpointing", True))
@@ -870,9 +995,14 @@ def _export_optimizer_state(stage, state, config) -> Optional[dict]:
     if stage == "lora":
         add(mu.get("unet"), nu.get("unet"), "unet")
     elif stage == "cam":
-        # encoder params then merge params (train_cam_ctrl.py:276-284)
+        # encoder params, merge params, then (train_mm) mm norm/proj params —
+        # the reference's trainable_params order (train_cam_ctrl.py:276-305)
         add(mu.get("pose_encoder"), nu.get("pose_encoder"), "pose_encoder")
-        add(mu.get("unet"), nu.get("unet"), "unet")
+        u_mu, u_nu = mu.get("unet") or {}, nu.get("unet") or {}
+        merge_mu, mm_mu = partition_params(u_mu, stage2_cmc_unet_trainable)
+        merge_nu, mm_nu = partition_params(u_nu, stage2_cmc_unet_trainable)
+        add(merge_mu, merge_nu, "unet")
+        add(mm_mu, mm_nu, "unet")
     else:
         # [cm encoder + merge] + [mm] + omcm + [image lora]
         # (train_cam_obj_ctrl.py:335-406)
@@ -909,9 +1039,15 @@ def _save_checkpoints(stage, run_dir, global_step, epoch, state, config):
             trainable["unet"], epoch, global_step, optimizer_state_dict=opt_sd,
         )
     elif stage == "cam":
+        # under train_mm the unet trainables mix merge + mm params; the
+        # reference bundle keeps them in SEPARATE keys
+        # (attention_processor_state_dict vs mm_state_dict,
+        # train_cam_ctrl.py:669-684)
+        merge_p, mm_p = partition_params(trainable["unet"], stage2_cmc_unet_trainable)
         ckpt.save_stage2_bundle(
             os.path.join(ckpt_dir, f"cmcm-step-{global_step}.ckpt"),
-            trainable["pose_encoder"], trainable["unet"], epoch, global_step,
+            trainable["pose_encoder"], merge_p, epoch, global_step,
+            mm_params=mm_p or None,
             optimizer_state_dict=opt_sd,
         )
     else:

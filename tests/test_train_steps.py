@@ -353,3 +353,84 @@ def test_stage2_remat_policies_compile_and_match(cam_setup, rng, policy):
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                     jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_gradient_accumulation_step(cam_setup, rng):
+    """make_accumulating_step == mean of per-micro gradients fed to one
+    optimizer update (the reference's gradient_accumulation_steps knob never
+    accumulates — train_cam_obj_ctrl.py:486-487 — ours is real)."""
+    import optax
+
+    from synfmc_tpu.training.steps import (
+        make_accumulating_step,
+        make_cam_grads_fn,
+        step_from_grads,
+    )
+
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+    grads_fn = make_cam_grads_fn(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), cfg)
+    frozen = {"unet": frozen_unet, "vae": vae_v, "text": text_v}
+    trainable = {"unet": trainable_unet, "pose_encoder": pose_v["params"]}
+
+    k = 3
+    micros = [_video_batch(np.random.default_rng(100 + i)) for i in range(k)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
+    key = jax.random.PRNGKey(7)
+
+    # SGD makes the update equal the (scaled) gradient -> exact comparison
+    tx = optax.sgd(1.0)
+    state = init_train_state(trainable, tx)
+    acc_step = jax.jit(make_accumulating_step(grads_fn, tx, k))
+    state_acc, metrics_acc = acc_step(state, frozen, stacked, key)
+
+    g_list, m_list = [], []
+    for i in range(k):
+        g, m = jax.jit(grads_fn)(trainable, frozen, micros[i], jax.random.fold_in(key, i))
+        g_list.append(g)
+        m_list.append(m)
+    g_mean = jax.tree_util.tree_map(lambda *xs: sum(xs) / k, *g_list)
+
+    # accumulated update == -mean(per-micro grads) under sgd(1.0)
+    expected = jax.tree_util.tree_map(lambda p, g: p - g, trainable, g_mean)
+    for a, b in zip(jax.tree_util.tree_leaves(state_acc.trainable),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics_acc["loss"]),
+        np.mean([float(m["loss"]) for m in m_list]), rtol=1e-6,
+    )
+    # exactly one optimizer update happened
+    assert int(state_acc.step) == 1
+
+
+def test_accumulated_stacked_batch_sharding(cam_setup, rng):
+    """shard_batch(stacked=True) keeps the micro axis unsharded and the data
+    axis one deeper; the accumulating step runs on the 8-device mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from synfmc_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from synfmc_tpu.training.steps import make_accumulating_step, make_cam_grads_fn
+
+    unet, vae, text, pose_enc, unet_params, vae_v, text_v, pose_v = cam_setup
+    trainable_unet, frozen_unet = partition_params(unet_params, stage2_cmc_unet_trainable)
+    cfg = StepConfig(apply_masked_loss=True, sample_height=H, sample_width=W)
+    grads_fn = make_cam_grads_fn(unet, pose_enc, vae, text, DiffusionSchedule.from_config(), cfg)
+    tx = make_optimizer(1e-4)
+    state = init_train_state({"unet": trainable_unet, "pose_encoder": pose_v["params"]}, tx)
+
+    mesh = create_mesh(num_data=2, num_fsdp=1, devices=jax.devices()[:2])
+
+    k = 2
+    micros = [_video_batch(np.random.default_rng(i)) for i in range(k)]
+    stacked_host = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *micros)
+    with mesh:
+        batch = shard_batch(stacked_host, mesh, stacked=True)
+        assert batch["pixel_values"].sharding.spec == P(None, "data")
+        state_m = replicate(state, mesh)
+        frozen = replicate({"unet": frozen_unet, "vae": vae_v, "text": text_v}, mesh)
+        step = jax.jit(make_accumulating_step(grads_fn, tx, k))
+        state2, metrics = step(state_m, frozen, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

@@ -312,3 +312,117 @@ def test_train_honors_mesh_sp_knob(fixture_kwargs, tmp_path):
     metrics = train("cam", cfg, max_steps_override=2)
     assert metrics["steps"] == 2
     assert np.isfinite(metrics["loss"])
+
+
+def test_epoch_denominated_knobs(fixture_kwargs, tmp_path):
+    """max_train_steps: -1 resolves from max_train_epoch x len(loader), and
+    checkpointing_steps: -1 from checkpointing_epochs x len(loader)
+    (train_cam_ctrl.py:369-375)."""
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["max_train_steps"] = -1
+    cfg["max_train_epoch"] = 2
+    cfg["checkpointing_steps"] = -1
+    cfg["checkpointing_epochs"] = 1
+    metrics = train("cam", cfg)
+    # fixture: 2 clips, batch 1 -> 2 batches/epoch -> 4 steps, ckpt every 2
+    assert metrics["steps"] == 4
+    run_dir = metrics["run_dir"]
+    for step in (2, 4):
+        assert os.path.isdir(os.path.join(run_dir, "checkpoints", f"step-{step}"))
+
+    # both -1 and no epochs knob: reference asserts; we match with ValueError
+    cfg2 = _config("cam", fixture_kwargs, tmp_path)
+    cfg2["max_train_steps"] = -1
+    cfg2["max_train_epoch"] = -1
+    with pytest.raises(ValueError, match="max_train_epoch"):
+        train("cam", cfg2)
+
+
+def test_cam_train_mm(fixture_kwargs, tmp_path):
+    """Stage-2 train_mm (train_cam_ctrl.py:286-305): the temporal
+    transformers' norm/proj layers join the trainables and the bundle grows
+    an mm_state_dict (train_cam_ctrl.py:679-683) separate from the merge
+    params."""
+    from synfmc_tpu.training.checkpoint import torch_load_state_dict
+
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["train_mm"] = True
+    metrics = train("cam", cfg, max_steps_override=2)
+    bundle_path = glob.glob(
+        os.path.join(metrics["run_dir"], "checkpoints", "cmcm-step-2.ckpt")
+    )[0]
+    bundle = torch_load_state_dict(bundle_path)
+    mm = bundle["mm_state_dict"]
+    assert mm, "train_mm run must export mm_state_dict"
+    assert all("motion_modules" in k for k in mm)
+    assert any(".norm." in k or k.endswith("norm.weight") for k in mm)
+    assert any("proj_in" in k for k in mm) and any("proj_out" in k for k in mm)
+    # the merge params stay in their own key, with no mm leakage
+    assert all("motion_modules" not in k or "merge" in k
+               for k in bundle["attention_processor_state_dict"])
+    # optimizer export covers encoder + merge + mm (reference order)
+    n_mm = len(mm)
+    opt = bundle["optimizer_state_dict"]
+    assert len(opt["state"]) == len(opt["param_names"])
+    assert sum(1 for name in opt["param_names"]
+               if "motion_modules" in name and "merge" not in name) == n_mm
+
+    # without train_mm the bundle must NOT carry mm_state_dict
+    cfg2 = _config("cam", fixture_kwargs, tmp_path)
+    m2 = train("cam", cfg2, max_steps_override=2)
+    b2 = torch_load_state_dict(
+        glob.glob(os.path.join(m2["run_dir"], "checkpoints", "cmcm-step-2.ckpt"))[0]
+    )
+    assert "mm_state_dict" not in b2
+
+
+def test_obj_warm_start_from_omcm_bundle(fixture_kwargs, tmp_path):
+    """omcm_config.pretrained warm-starts the adapter AND resumes the step
+    count from the bundle's global_step (train_cam_obj_ctrl.py:296-313,
+    574-578); optimizer state deliberately does NOT carry over (the
+    reference quirk, SURVEY §5)."""
+    cfg = _config("obj", fixture_kwargs, tmp_path)
+    m1 = train("obj", cfg, max_steps_override=2)
+    omcm_path = glob.glob(
+        os.path.join(m1["run_dir"], "checkpoints", "omcm-step-2.ckpt")
+    )[0]
+
+    cfg2 = _config("obj", fixture_kwargs, tmp_path)
+    cfg2["omcm_config"]["pretrained"] = omcm_path
+    cfg2["record_loss_history"] = True
+    m2 = train("obj", cfg2, max_steps_override=3)
+    assert m2["steps"] == 3
+    assert len(m2["loss_history"]) == 1  # resumed at 2, ran exactly one step
+    assert np.isfinite(m2["loss"])
+
+
+def test_gradient_accumulation_e2e(fixture_kwargs, tmp_path):
+    """gradient_accumulation_steps: 2 consumes two loader batches per
+    optimizer step (REAL accumulation — the reference's knob never
+    accumulates, train_cam_obj_ctrl.py:486-487), and crash-resume arithmetic
+    stays exact in batch units."""
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["output_dir"] = str(tmp_path / "out_a")
+    cfg["gradient_accumulation_steps"] = 2
+    cfg["record_loss_history"] = True
+    m_a = train("cam", cfg, max_steps_override=3)
+    assert m_a["steps"] == 3 and len(m_a["loss_history"]) == 3
+    assert all(np.isfinite(v) for v in m_a["loss_history"])
+
+    # crash at 2, resume to 3: the resumed step must consume the SAME two
+    # batches (batch-unit divmod) and reproduce the uninterrupted loss
+    cfg_b = _config("cam", fixture_kwargs, tmp_path)
+    cfg_b["output_dir"] = str(tmp_path / "out_b")
+    cfg_b["gradient_accumulation_steps"] = 2
+    cfg_b["record_loss_history"] = True
+    train("cam", cfg_b, max_steps_override=2)
+    cfg_c = _config("cam", fixture_kwargs, tmp_path)
+    cfg_c["output_dir"] = str(tmp_path / "out_b")
+    cfg_c["gradient_accumulation_steps"] = 2
+    cfg_c["record_loss_history"] = True
+    cfg_c["resume_from"] = "auto"
+    m_c = train("cam", cfg_c, max_steps_override=3)
+    assert len(m_c["loss_history"]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(m_a["loss_history"][2:]), np.asarray(m_c["loss_history"])
+    )
