@@ -74,7 +74,14 @@ def main():
     import jax
 
     if args.cpu:
+        # env var too: enable_compile_cache re-asserts the platform from it
+        # (remote-TPU plugin workaround) and keys the cache dir off it
+        os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
+    # repeat invocations skip the ~100 s flagship compile (PERF.md)
+    from synfmc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -38,7 +38,14 @@ def _build(args):
     import jax
 
     if args.cpu:
+        # env var too: enable_compile_cache re-asserts the platform from it
+        # (remote-TPU plugin workaround) and keys the cache dir off it
+        os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
+    # daemon restarts skip the ~100 s flagship compile (PERF.md)
+    from synfmc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from synfmc_tpu.config import load_config
     from synfmc_tpu.pipelines.factory import build_pipeline
@@ -53,6 +60,21 @@ def _build(args):
     return config, pipe, info
 
 
+def _parse_camera(camera_txt):
+    """Parse a camera label txt body -> (intrinsics, rts)."""
+    import tempfile
+
+    from synfmc_tpu.evaluation.metrics import parse_camera_txt
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as tf:
+        tf.write(camera_txt)
+        path = tf.name
+    try:
+        return parse_camera_txt(path)
+    finally:
+        os.unlink(path)
+
+
 def _plucker_for(pipe, info, prompts, video_length, camera_txt):
     import jax.numpy as jnp
     import numpy as np
@@ -62,17 +84,7 @@ def _plucker_for(pipe, info, prompts, video_length, camera_txt):
     h, w = info["sample_size"]
     b, f = len(prompts), video_length
     if camera_txt:
-        import tempfile
-
-        from synfmc_tpu.evaluation.metrics import parse_camera_txt
-
-        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as tf:
-            tf.write(camera_txt)
-            path = tf.name
-        try:
-            intr, rts = parse_camera_txt(path)
-        finally:
-            os.unlink(path)
+        intr, rts = _parse_camera(camera_txt)
         c2w = np.tile(np.eye(4, dtype=np.float32), (len(rts), 1, 1))
         c2w[:, :3, :] = rts
         intr = jnp.asarray(np.tile(intr[None], (b, 1, 1)), jnp.float32)
@@ -184,6 +196,23 @@ def make_handler(args, config, pipe, info, batcher):
                 steps = int(req.get("num_inference_steps", args.num_inference_steps))
                 guidance = float(req.get("guidance_scale", 8.0))
                 seed = int(req.get("seed", args.seed))
+                camera_txt = req.get("camera_txt")
+                if camera_txt:
+                    # validate BEFORE submit: a trajectory whose frame count
+                    # disagrees with video_length would blow up inside the
+                    # batched pipeline call and 500 every innocent request
+                    # coalesced into the same group
+                    try:
+                        _, rts = _parse_camera(camera_txt)
+                    except Exception as e:
+                        self._json(400, {"error": f"bad camera_txt: {e}"})
+                        return
+                    if len(rts) != f:
+                        self._json(400, {
+                            "error": f"camera_txt has {len(rts)} poses but "
+                                     f"video_length={f}"
+                        })
+                        return
                 t0 = time.time()
                 # the MicroBatcher's dispatch thread owns the chip; under
                 # concurrent load, same-shape requests coalesce into one

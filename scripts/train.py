@@ -33,12 +33,9 @@ def main():
 
     # persistent compile cache (same dirs the tests/benches use: full-model
     # compiles are minutes cold)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cache = ".jax_cache_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else ".jax_cache"
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     os.path.join(repo, cache)))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from synfmc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.distributed:
         jax.distributed.initialize()

@@ -9,6 +9,7 @@ from synfmc_tpu.parallel.mesh import (
     shard_batch,
     shard_over_fsdp,
     state_shardings,
+    sync_stop_flag,
     tree_locally_coverable,
 )
 
@@ -24,4 +25,5 @@ __all__ = [
     "fetch_to_host",
     "locally_coverable",
     "tree_locally_coverable",
+    "sync_stop_flag",
 ]

@@ -228,6 +228,24 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def sync_stop_flag(local: bool) -> bool:
+    """Collective OR of a per-process stop flag.
+
+    Preemption signals (SIGTERM) can land on ONE rank of a multi-host job, or
+    on different step boundaries per rank; the training loop must break on
+    the SAME step everywhere or the breaker's save-path collectives deadlock
+    against the other ranks' train-step collectives.  Every process must call
+    this at the same loop point (it is a collective).  Single-process runs
+    return ``local`` with no collective at all.
+    """
+    if jax.process_count() == 1:
+        return bool(local)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray([local], np.int32))
+    return bool(np.asarray(flags).any())
+
+
 def local_shard_indices(total: int) -> np.ndarray:
     """Per-host dataset shard (DistributedSampler replacement): this host's
     example indices, round-robin by process index."""

@@ -226,6 +226,7 @@ def save_stage3_bundles(
     omcm_params: dict,
     pose_encoder_params: Optional[dict] = None,
     merge_params: Optional[dict] = None,
+    mm_params: Optional[dict] = None,
     lora_params: Optional[dict] = None,
     epoch: int = 0,
     optimizer_state_dict: Optional[dict] = None,
@@ -236,20 +237,29 @@ def save_stage3_bundles(
     the omcm file (the one whose global_step the reference's stage-3 resume
     reads, train_cam_obj_ctrl.py:574-578 — note the reference itself never
     restores stage-3 optimizer state, so the export is forward-looking).
+
+    ``merge_params`` must be the merge-only subtree ('merge' in k, 'lora' not
+    in k) — the reference's cmcm bundle filters to exactly those names
+    (train_cam_obj_ctrl.py:955-957).  ``mm_params`` (train_mm norm/proj),
+    which the reference trains but never writes to ANY stage-3 bundle, ride
+    an extra ``mm_state_dict`` key on the omcm file so a pure-torch consumer
+    doesn't lose them; reference loaders read keys positionally and ignore it.
     """
     from synfmc_tpu.interop.torch_port import export_torch_state
 
     paths = []
     omcm_path = os.path.join(out_dir, f"omcm-step-{global_step}.ckpt")
-    _torch_save(
-        {
-            "epoch": epoch,
-            "global_step": global_step,
-            "omcm_state_dict": export_torch_state(jax.device_get(omcm_params), "adapter"),
-            "optimizer_state_dict": optimizer_state_dict,
-        },
-        omcm_path,
-    )
+    omcm_bundle = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "omcm_state_dict": export_torch_state(jax.device_get(omcm_params), "adapter"),
+        "optimizer_state_dict": optimizer_state_dict,
+    }
+    if mm_params:
+        omcm_bundle["mm_state_dict"] = export_torch_state(
+            jax.device_get(mm_params), "unet"
+        )
+    _torch_save(omcm_bundle, omcm_path)
     paths.append(omcm_path)
     if pose_encoder_params is not None:
         cmcm_path = os.path.join(out_dir, f"cmcm-step-{global_step}.ckpt")

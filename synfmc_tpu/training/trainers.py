@@ -402,6 +402,17 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
     params, pretrained_meta = load_pretrained(params, config, stage, logger)
 
     schedule = DiffusionSchedule.from_config(**(config.get("noise_scheduler_kwargs") or {}))
+    # REAL gradient accumulation (the reference's knob never accumulates —
+    # train_cam_obj_ctrl.py:486-487 only scales lr arithmetic): each
+    # global_step consumes `accum` loader batches stacked on a leading micro
+    # axis and applies ONE optimizer update of their mean gradient — the
+    # single-chip big-effective-batch lever (b=2 does not fit HBM, PERF.md).
+    # Resolved BEFORE the epoch-denominated knob conversions below: one
+    # optimizer step eats `accum` loader batches, so N epochs are
+    # ceil(N * len(loader) / accum) optimizer steps — the same arithmetic the
+    # resume path inverts with divmod(global_step * accum, len(loader)).
+    accum = int(config.get("gradient_accumulation_steps", 1) or 1)
+    steps_per_epoch = -(-len(loader) // accum)  # ceil
     max_steps = max_steps_override or int(config.get("max_train_steps", 100))
     if max_steps == -1:
         # epoch-denominated run length (train_cam_ctrl.py:369-371)
@@ -411,13 +422,16 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
                 "max_train_steps: -1 requires max_train_epoch (reference "
                 "train_cam_ctrl.py:370 asserts the same)"
             )
-        max_steps = max_train_epoch * len(loader)
+        max_steps = max_train_epoch * steps_per_epoch
         logger.info(
             f"max_train_epoch {max_train_epoch} x {len(loader)} batches/epoch "
-            f"-> max_train_steps {max_steps}"
+            f"/ {accum} accum -> max_train_steps {max_steps}"
         )
     tx = make_optimizer(
         float(config.get("learning_rate", 1e-4)),
+        adam_beta1=float(config.get("adam_beta1", 0.9)),
+        adam_beta2=float(config.get("adam_beta2", 0.999)),
+        adam_epsilon=float(config.get("adam_epsilon", 1e-8)),
         max_grad_norm=float(config.get("max_grad_norm", 1.0)),
         lr_scheduler=str(config.get("lr_scheduler", "constant")),
         lr_warmup_steps=int(config.get("lr_warmup_steps", 0)),
@@ -448,13 +462,6 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         remat=bool(config.get("gradient_checkpointing", False)),
         remat_policy=str(config.get("gradient_checkpointing_policy", "full")),
     )
-
-    # REAL gradient accumulation (the reference's knob never accumulates —
-    # train_cam_obj_ctrl.py:486-487 only scales lr arithmetic): each
-    # global_step consumes `accum` loader batches stacked on a leading micro
-    # axis and applies ONE optimizer update of their mean gradient — the
-    # single-chip big-effective-batch lever (b=2 does not fit HBM, PERF.md).
-    accum = int(config.get("gradient_accumulation_steps", 1) or 1)
 
     # trainable/frozen partition per stage (SURVEY.md §2.1)
     if stage == "lora":
@@ -553,10 +560,11 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
         # save below is unconditional, so nothing is ever lost).
         ckpt_epochs = int(config.get("checkpointing_epochs", -1))
         if ckpt_epochs != -1:
-            ckpt_steps = ckpt_epochs * len(loader)
+            # optimizer-step cadence: one step consumes `accum` batches
+            ckpt_steps = ckpt_epochs * steps_per_epoch
             logger.info(
                 f"checkpointing_epochs {ckpt_epochs} x {len(loader)} "
-                f"batches/epoch -> checkpointing_steps {ckpt_steps}"
+                f"batches/epoch / {accum} accum -> checkpointing_steps {ckpt_steps}"
             )
     logger_interval = int(config.get("logger_interval", 10))
     global_step = 0
@@ -661,6 +669,27 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
             except ValueError:  # not the main thread
                 break
 
+    # Under multi-host SPMD a preemption signal can land on one rank only
+    # (or on different step boundaries per rank); the stop decision is a
+    # collective OR (sync_stop_flag) issued every step at the same loop
+    # point on every process, so all ranks break on the SAME step and the
+    # save-path collectives stay aligned with the other ranks' programs.
+    # Gated on the CONFIG flag (identical across ranks), not on whether the
+    # handler install succeeded locally (which can differ per rank — e.g.
+    # train() called off the main thread — and would desync the collective).
+    preempt_sync = (
+        bool(config.get("checkpoint_on_preemption", True))
+        and jax.process_count() > 1
+    )
+
+    def _stop_all_ranks() -> bool:
+        local = stop_requested.is_set()
+        if preempt_sync:
+            from synfmc_tpu.parallel import sync_stop_flag
+
+            return sync_stop_flag(local)
+        return local
+
     data_t0 = time.time()
     try:
         while global_step < max_steps:
@@ -746,7 +775,7 @@ def train(stage: str, config: ConfigDict, max_steps_override: Optional[int] = No
                         _save_checkpoints(stage, run_dir, global_step, epoch, to_save, config)
                 last_saved_step = global_step
             data_t0 = time.time()
-            if stop_requested.is_set():
+            if _stop_all_ranks():
                 logger.info(
                     f"stopping on preemption signal at step {global_step}; "
                     f"final checkpoint follows"
@@ -1051,9 +1080,22 @@ def _save_checkpoints(stage, run_dir, global_step, epoch, state, config):
             optimizer_state_dict=opt_sd,
         )
     else:
+        # the reference's stage-3 cmcm bundle holds ONLY the merge params
+        # ('merge' in k and 'lora' not in k, train_cam_obj_ctrl.py:360-361,
+        # 955-957); img-lora params get their own img-lora-step-N.ckpt
+        # (train_cam_obj_ctrl.py:972-980); mm norm/proj params are trained
+        # but never persisted to any reference bundle (quirk) — ours ride the
+        # omcm bundle's extra mm_state_dict key (and the native Orbax
+        # checkpoint) so nothing is lost, while reference-side strict key
+        # checks on attention_processor_state_dict still pass.
+        u = trainable.get("unet", {})
+        merge_p, rest_p = partition_params(u, stage2_cmc_unet_trainable)
+        lora_p, mm_p = partition_params(rest_p, lambda p: "lora" in p)
         ckpt.save_stage3_bundles(
             ckpt_dir, global_step, trainable["adapter"],
             pose_encoder_params=trainable.get("pose_encoder"),
-            merge_params=trainable.get("unet", {}),
+            merge_params=merge_p,
+            mm_params=mm_p or None,
+            lora_params=lora_p or None,
             epoch=epoch, optimizer_state_dict=opt_sd,
         )

@@ -227,6 +227,16 @@ assert batch_sp["pixel_values"].sharding.spec == PartitionSpec("data", "sp"), (
 _, m_sp = step_sp(state_sp, frozen_sp, batch_sp, jax.random.PRNGKey(99))
 print(f"sp loss={float(m_sp['loss']):.6f}", flush=True)
 
+# ---- collective preemption stop (ADVICE r4): a SIGTERM observed by rank 0
+# ONLY must stop every rank at the same step — sync_stop_flag is a collective
+# OR over processes, so one flagged rank flips all ranks, and an unflagged
+# fleet keeps running.  Both calls are collectives: every rank executes both.
+from synfmc_tpu.parallel import sync_stop_flag  # noqa: E402
+
+assert sync_stop_flag(pid == 0) is True, "rank-0 signal must stop all ranks"
+assert sync_stop_flag(False) is False, "no signal must stop no rank"
+print("preempt stop sync ok", flush=True)
+
 # per-rank log files: rank 0 writes log.txt, rank N writes log.txt.rankN
 # (utils/util.py:108-116 parity) — worker-host logs must not vanish
 from synfmc_tpu.utils.logger import setup_logger  # noqa: E402

@@ -73,6 +73,11 @@ def test_two_process_data_parallel_stays_in_sync(tmp_path):
     assert ck[0] and ck[0] == ck[1], f"\nproc0: {ck[0]}\nproc1: {ck[1]}"
     assert "ckpt roundtrip ok" in outs[0]
 
+    # collective preemption stop (ADVICE r4): a signal on one rank stops all
+    # ranks; no signal stops none — the training loop's break decision is
+    # this collective, so ranks cannot desync at the save path
+    assert all("preempt stop sync ok" in o for o in outs)
+
     # per-rank log files (utils/util.py:108-116): rank 0 -> log.txt,
     # rank 1 -> log.txt.rank1 — non-main logs must not vanish
     assert (tmp_path / "log.txt").exists()

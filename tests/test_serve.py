@@ -87,6 +87,30 @@ def test_serve_generate(tmp_path):
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
             assert json.loads(r.read())["status"] == "ok"
 
+        # camera_txt whose pose count disagrees with video_length must be
+        # rejected 400 at submit time (ADVICE r4: inside a coalesced group it
+        # would 500 every innocent member), as must unparseable camera_txt
+        cam2 = "2\n" + "\n".join(
+            "0 64 64 32 32 0 0 " + " ".join(
+                str(v) for v in [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]
+            ) for _ in range(2)
+        )
+        for body, frag in (
+            ({"prompt": "x", "video_length": 4, "num_inference_steps": 2,
+              "camera_txt": cam2}, "2 poses"),
+            ({"prompt": "x", "video_length": 4, "num_inference_steps": 2,
+              "camera_txt": "not a camera file"}, "bad camera_txt"),
+        ):
+            rq = urllib.request.Request(
+                base + "/generate", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(rq, timeout=30)
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert frag in json.loads(e.read())["error"]
+
         # concurrent same-shape requests coalesce into ONE batched pipeline
         # call (--max-batch 2); different seeds must yield different clips
         import threading

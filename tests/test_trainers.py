@@ -337,6 +337,95 @@ def test_epoch_denominated_knobs(fixture_kwargs, tmp_path):
     with pytest.raises(ValueError, match="max_train_epoch"):
         train("cam", cfg2)
 
+    # with gradient accumulation the epoch knobs are in OPTIMIZER steps
+    # (ADVICE r4: one step consumes `accum` batches, so 2 epochs of a 2-batch
+    # loader with accum=2 is 2 steps, not 4 — and checkpointing_epochs: 1
+    # fires every step, not every other)
+    cfg3 = _config("cam", fixture_kwargs, tmp_path)
+    cfg3["output_dir"] = str(tmp_path / "out_accum")
+    cfg3["gradient_accumulation_steps"] = 2
+    cfg3["max_train_steps"] = -1
+    cfg3["max_train_epoch"] = 2
+    cfg3["checkpointing_steps"] = -1
+    cfg3["checkpointing_epochs"] = 1
+    m3 = train("cam", cfg3)
+    assert m3["steps"] == 2
+    for step in (1, 2):
+        assert os.path.isdir(os.path.join(m3["run_dir"], "checkpoints", f"step-{step}"))
+
+
+def test_adam_hparams_reach_optimizer(fixture_kwargs, tmp_path, monkeypatch):
+    """adam_beta1/beta2/epsilon from the config must reach make_optimizer
+    (ADVICE r4: they were schema-legal and stamped into the exported torch
+    optimizer param_groups, but training silently ran on the 0.9/0.999/1e-8
+    defaults)."""
+    import synfmc_tpu.training.trainers as trainers_mod
+
+    captured = {}
+
+    class _Captured(Exception):
+        pass
+
+    def fake_make_optimizer(lr, **kw):
+        captured.update(kw, learning_rate=lr)
+        raise _Captured
+
+    monkeypatch.setattr(trainers_mod, "make_optimizer", fake_make_optimizer)
+    cfg = _config("cam", fixture_kwargs, tmp_path)
+    cfg["adam_beta1"] = 0.85
+    cfg["adam_beta2"] = 0.97
+    cfg["adam_epsilon"] = 1e-6
+    with pytest.raises(_Captured):
+        train("cam", cfg, max_steps_override=1)
+    assert captured["adam_beta1"] == 0.85
+    assert captured["adam_beta2"] == 0.97
+    assert captured["adam_epsilon"] == 1e-6
+
+
+def test_obj_bundle_partition(fixture_kwargs, tmp_path):
+    """Stage-3 bundles partition the unet trainables like the reference
+    (train_cam_obj_ctrl.py:948-980, ADVICE r4): the cmcm bundle carries ONLY
+    merge params ('merge' in k and 'lora' not in k, :360-361), img-lora
+    params get their own img-lora-step-N.ckpt (:972-980), and mm norm/proj
+    params — trained but never persisted by the reference (quirk) — ride the
+    omcm bundle's extra mm_state_dict key so nothing is lost."""
+    from synfmc_tpu.training.checkpoint import torch_load_state_dict
+
+    cfg = _config("obj", fixture_kwargs, tmp_path)
+    cfg["train_cm"] = True
+    cfg["train_mm"] = True
+    cfg["train_image_lora"] = True
+    metrics = train("obj", cfg, max_steps_override=2)
+    ckdir = os.path.join(metrics["run_dir"], "checkpoints")
+
+    cmcm = torch_load_state_dict(os.path.join(ckdir, "cmcm-step-2.ckpt"))
+    attn = cmcm["attention_processor_state_dict"]
+    assert attn, "train_cm run must export merge params"
+    bad = [k for k in attn if "merge" not in k or "lora" in k]
+    assert not bad, f"non-merge params leaked into cmcm bundle: {bad[:5]}"
+
+    lora = torch_load_state_dict(os.path.join(ckdir, "img-lora-step-2.ckpt"))
+    assert lora["lora_state_dict"], "train_image_lora run must write img-lora bundle"
+    assert all("lora" in k for k in lora["lora_state_dict"])
+    assert lora["global_step"] == 2
+
+    omcm = torch_load_state_dict(os.path.join(ckdir, "omcm-step-2.ckpt"))
+    mm = omcm["mm_state_dict"]
+    assert mm, "train_mm params must be persisted (omcm mm_state_dict)"
+    assert all("merge" not in k and "lora" not in k for k in mm)
+    assert any("proj_in" in k for k in mm) and any("proj_out" in k for k in mm)
+
+    # without the knobs: no cmcm/img-lora files, no mm_state_dict key —
+    # the default stage-3 layout matches the reference's exactly
+    cfg2 = _config("obj", fixture_kwargs, tmp_path)
+    cfg2["output_dir"] = str(tmp_path / "out_plain")
+    m2 = train("obj", cfg2, max_steps_override=2)
+    ckdir2 = os.path.join(m2["run_dir"], "checkpoints")
+    assert not os.path.exists(os.path.join(ckdir2, "cmcm-step-2.ckpt"))
+    assert not os.path.exists(os.path.join(ckdir2, "img-lora-step-2.ckpt"))
+    omcm2 = torch_load_state_dict(os.path.join(ckdir2, "omcm-step-2.ckpt"))
+    assert "mm_state_dict" not in omcm2
+
 
 def test_cam_train_mm(fixture_kwargs, tmp_path):
     """Stage-2 train_mm (train_cam_ctrl.py:286-305): the temporal
