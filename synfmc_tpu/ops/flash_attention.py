@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from synfmc_tpu.ops.spmd import shard_by_rule, spmd_kernels_enabled
+
 # Max K/V rows we allow resident per batch row before falling back to XLA.
 # 16384 covers 1024x1024 spatial attention (128x128 latents); 6144 is the
 # 512x768 case.  The (BQ, Sk) fp32 intermediates are bounded by the
@@ -432,10 +434,39 @@ def _pick_block_q(sq_p: int, sk_p: int | None = None, live: int = 3,
     return sq_p  # no divisor <= cap: single block (grid math needs a divisor)
 
 
+@functools.partial(
+    shard_by_rule(
+        # each (b, h) attention row is independent, and fwd q-blocks are too,
+        # so b/s/h shard freely; the resident K/V sequence t and the
+        # lane-sliced head_dim d must be whole per shard
+        "b s h d, b t h d, b t h d -> b s h d",
+        need_replication=("t", "d"),
+        static_argnums=(3, 4),
+    ),
+)
+def _fwd_sharded(q, k, v, scale: float, interpret: bool):
+    return _flash_fwd(q, k, v, scale, interpret)[0]
+
+
+@functools.partial(
+    shard_by_rule(
+        # dK/dV accumulate across q-blocks, so the backward also needs the
+        # QUERY sequence s whole per shard; b/h still shard freely (the
+        # data-parallel training case costs zero collectives)
+        "b s h d, b t h d, b t h d, b s h d -> b s h d, b t h d, b t h d",
+        need_replication=("s", "t", "d"),
+        static_argnums=(4, 5),
+    ),
+)
+def _bwd_sharded(q, k, v, g, scale: float, interpret: bool):
+    return _flash_bwd(scale, interpret, (q, k, v), g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q, k, v, scale: float, interpret: bool = False):
-    out, _ = _flash_fwd(q, k, v, scale, interpret)
-    return out
+    if spmd_kernels_enabled():
+        return _fwd_sharded(q, k, v, scale, interpret)
+    return _flash_fwd(q, k, v, scale, interpret)[0]
 
 
 def _flash_fwd(q, k, v, scale: float, interpret: bool = False):
@@ -488,4 +519,17 @@ def _flash_bwd(scale, interpret, res, g):
     )
 
 
-flash_attention.defvjp(_flash_fwd, _flash_bwd)
+def _vjp_fwd(q, k, v, scale, interpret):
+    if spmd_kernels_enabled():
+        return _fwd_sharded(q, k, v, scale, interpret), (q, k, v)
+    return _flash_fwd(q, k, v, scale, interpret)[0], (q, k, v)
+
+
+def _vjp_bwd(scale, interpret, res, g):
+    q, k, v = res
+    if spmd_kernels_enabled():
+        return _bwd_sharded(q, k, v, g, scale, interpret)
+    return _flash_bwd(scale, interpret, (q, k, v), g)
+
+
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

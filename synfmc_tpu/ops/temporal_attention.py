@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from synfmc_tpu.ops.spmd import shard_by_rule, spmd_kernels_enabled
+
 # bf16 bytes of the 4 (TN, F, C) fwd blocks (3 in + 1 out) we allow resident;
 # the bwd holds 8 such blocks, so it uses half the row tile.
 _VMEM_BLOCK_BUDGET = 12 * 1024 * 1024
@@ -146,18 +148,51 @@ def _xla_ref(q2, k2, v2, scale, heads):
     return out.reshape(n, f, c).astype(q2.dtype)
 
 
+# Attention mixes only the F frames within each of the N=b*h*w rows, so the
+# row axis shards freely in BOTH directions (no cross-row accumulation
+# anywhere — contrast flash_attention's dK/dV); the frame axis f and the
+# head-sliced channel axis c must be whole per shard.  Without these rules a
+# sharded jit replicates the kernel's operands (see ops/spmd.py).
+@functools.partial(
+    shard_by_rule(
+        "n f c, n f c, n f c -> n f c",
+        need_replication=("f", "c"),
+        static_argnums=(3, 4, 5),
+    ),
+)
+def _fwd_sharded(q2, k2, v2, scale: float, heads: int, interpret: bool):
+    return _fwd_call(q2, k2, v2, scale, heads, interpret=interpret)
+
+
+@functools.partial(
+    shard_by_rule(
+        "n f c, n f c, n f c, n f c -> n f c, n f c, n f c",
+        need_replication=("f", "c"),
+        static_argnums=(4, 5, 6),
+    ),
+)
+def _bwd_sharded(q2, k2, v2, g2, scale: float, heads: int, interpret: bool):
+    return _bwd_call(q2, k2, v2, g2, scale, heads, interpret=interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def temporal_attention(q2, k2, v2, scale: float, heads: int, interpret: bool = False):
     """Fused temporal self-attention on packed (N, F, H*D) tensors."""
+    if spmd_kernels_enabled():
+        return _fwd_sharded(q2, k2, v2, scale, heads, interpret)
     return _fwd_call(q2, k2, v2, scale, heads, interpret=interpret)
 
 
 def _vjp_fwd(q2, k2, v2, scale, heads, interpret):
+    if spmd_kernels_enabled():
+        return _fwd_sharded(q2, k2, v2, scale, heads, interpret), (q2, k2, v2)
     return _fwd_call(q2, k2, v2, scale, heads, interpret=interpret), (q2, k2, v2)
 
 
 def _vjp_bwd(scale, heads, interpret, res, g):
     q2, k2, v2 = res
+    if spmd_kernels_enabled():
+        return _bwd_sharded(q2, k2, v2, g.astype(q2.dtype), scale, heads, interpret)
     return _bwd_call(q2, k2, v2, g.astype(q2.dtype), scale, heads, interpret=interpret)
 
 
