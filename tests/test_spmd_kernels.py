@@ -140,6 +140,46 @@ def test_temporal_grad_row_sharded_no_collectives(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
 
 
+def test_flash_fwd_merged_axes_batch_sharded(rng):
+    """The serving fold (2B,F,...)->(2B*F,...) shards the merged leading dim
+    over BOTH mesh axes — P(('data','sp')) on one dim must partition the
+    kernel with zero collectives too (tuple factor assignment in _solve)."""
+    mesh = _mesh(("data", 4), ("sp", 2))
+    b, s, h, d = 8, 64, 2, 16
+    q, k, v = (rng.normal(size=(b, s, h, d)).astype(np.float32) for _ in range(3))
+    ref = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 0.25)
+
+    sh = NamedSharding(mesh, P(("data", "sp")))
+    qd, kd, vd = (jax.device_put(x, sh) for x in (q, k, v))
+    fn = lambda q, k, v: flash_attention(q, k, v, 0.25, True)
+    assert _collective_count(fn, qd, kd, vd) == 0
+    out = jax.jit(fn)(qd, kd, vd)
+    assert out.sharding.spec == P(("data", "sp"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_under_gspmd_partitioner(rng, monkeypatch):
+    """The rules work under BOTH partitioners: force the legacy GSPMD path
+    (infer_sharding_from_operands/partition callbacks instead of the Shardy
+    sharding_rule) and re-check the zero-collective batch sharding."""
+    import jax._src.config as jcfg
+
+    if not hasattr(jcfg, "use_shardy_partitioner"):
+        pytest.skip("no shardy toggle in this jax")
+    mesh = _mesh(("data", 8))
+    b, s, h, d = 8, 64, 2, 16
+    q, k, v = (rng.normal(size=(b, s, h, d)).astype(np.float32) for _ in range(3))
+    ref = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 0.25)
+    sh = NamedSharding(mesh, P("data"))
+    qd, kd, vd = (jax.device_put(x, sh) for x in (q, k, v))
+    fn = lambda q, k, v: flash_attention(q, k, v, 0.25, True)
+    with jcfg.use_shardy_partitioner(False):
+        hlo = jax.jit(fn).lower(qd, kd, vd).compile().as_text()
+        assert sum(hlo.count(c) for c in ("all-gather", "all-reduce", "collective-permute")) == 0
+        out = jax.jit(fn)(qd, kd, vd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_spmd_gate_env_override(rng, monkeypatch):
     """SYNFMC_SPMD_KERNELS=0 keeps the plain (non-custom_partitioning)
     graph — the single-chip production path (ops/spmd.py) — and both paths
