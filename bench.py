@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +85,7 @@ def verify_kernels_on_device():
         ("temporal_l2", 192, 16, 8, 160),
     ]:
         c = h * d
-        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(hash(label) % 2**31), 4)
+        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(zlib.crc32(label.encode())), 4)
         q2 = jax.random.normal(kq, (n, f, c), jnp.bfloat16)
         k2 = jax.random.normal(kk, (n, f, c), jnp.bfloat16)
         v2 = jax.random.normal(kv, (n, f, c), jnp.bfloat16)
@@ -117,7 +118,7 @@ def verify_kernels_on_device():
         ("temporal_320ch", 512, 16, 8, 40),
     ]
     for label, b, s, h, d in shapes:
-        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(hash(label) % 2**31), 4)
+        kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(zlib.crc32(label.encode())), 4)
         q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
         k = jax.random.normal(kk, (b, s, h, d), jnp.bfloat16)
         v = jax.random.normal(kv, (b, s, h, d), jnp.bfloat16)
