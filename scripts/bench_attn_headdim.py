@@ -46,14 +46,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from synfmc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # + honors JAX_PLATFORMS (the remote-TPU plugin ignores the env var)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
 
 
 def time_fn(fn, shape, iters=3):

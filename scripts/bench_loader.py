@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from synfmc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # + honors JAX_PLATFORMS (the remote-TPU plugin ignores the env var)
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -2,6 +2,10 @@
 reports MFU at each point (512x768, 32-frame, and the flagship)."""
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from synfmc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # + honors JAX_PLATFORMS (the remote-TPU plugin ignores the env var)
 import jax, jax.numpy as jnp
 from synfmc_tpu.diffusion import DiffusionSchedule
 from synfmc_tpu.models.unet3d import UNet3D

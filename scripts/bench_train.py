@@ -21,12 +21,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+from synfmc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # + honors JAX_PLATFORMS (the remote-TPU plugin ignores the env var)
+
 import jax
 import jax.numpy as jnp
-
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

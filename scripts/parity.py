@@ -34,6 +34,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from synfmc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # + honors JAX_PLATFORMS (the remote-TPU plugin ignores the env var)
+
 TINY = dict(
     block_out_channels=[32, 64, 128, 128], cross_attention_dim=32, attn_heads=4,
     vae_channels=[32, 32, 32, 32],

@@ -21,6 +21,10 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from synfmc_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # + honors JAX_PLATFORMS (the remote-TPU plugin ignores the env var)
+
 _XPLANE_PROTO = """
 syntax = "proto3";
 package profparse;
@@ -146,10 +150,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from synfmc_tpu.models.unet3d import UNet3D
 
